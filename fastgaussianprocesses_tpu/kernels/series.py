@@ -1,0 +1,149 @@
+"""Series-form fast kernels: shift-invariant (lattice/FFT) and
+digitally-shift-invariant (digital net/FWHT).
+
+Both families share the reference's split (util.py:40-62 vs
+abstract_fast_gp.py:181-191) between
+
+* ``*_parts_from_delta`` — hyperparameter-INdependent per-dimension series
+  terms, cacheable per point set; and
+* ``kernel_from_parts`` — the cheap hyperparameter contraction
+  ``scale * prod_j(ind_j + lengthscale_j * part_j)`` with derivative
+  multi-index coefficient sums, which lives inside the autodiff graph.
+
+Derivative multi-indices ``beta``/``kappa`` follow the reference semantics
+(abstract_fast_gp.py:173-196): ``beta0`` rows differentiate the first
+argument, ``beta1`` rows the second, and ``c0``/``c1`` are their
+coefficients.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.bernoulli import bernoulli_poly
+from ..ops.walsh import omega_walsh
+
+
+# ---------------------------------------------------------------------------
+# shift-invariant (lattice) kernel
+# ---------------------------------------------------------------------------
+
+def si_parts_from_delta(delta, alpha: np.ndarray, beta: np.ndarray, kappa: np.ndarray):
+    """Per-dimension SI series terms at lattice differences ``delta``.
+
+    ``coeff_j * B_{2*alpha_j - beta_j - kappa_j}(delta_j)`` with
+    ``coeff_j = (-1)^(alpha_j + kappa_j + 1) * (2 pi)^(2 alpha_j) /
+    (2 alpha_j - beta_j - kappa_j)!`` — reference behavior:
+    fast_gp_lattice.py:267-273.
+
+    Args:
+        delta: (..., d) fractional differences in [0, 1).
+        alpha, beta, kappa: static int vectors of length d.
+
+    Returns:
+        (..., d) array of series terms.
+    """
+    alpha = np.asarray(alpha, dtype=np.int64)
+    beta = np.asarray(beta, dtype=np.int64)
+    kappa = np.asarray(kappa, dtype=np.int64)
+    d = delta.shape[-1]
+    order = 2 * alpha - beta - kappa
+    assert (order >= 2).all(), f"kernel order must be >= 2, got {order}"
+    cols = []
+    for j in range(d):
+        coeff = (-1.0) ** (alpha[j] + kappa[j] + 1) * math.exp(
+            2 * alpha[j] * math.log(2 * math.pi) - math.lgamma(order[j] + 1)
+        )
+        cols.append(coeff * bernoulli_poly(int(order[j]), delta[..., j]))
+    return jnp.stack(cols, axis=-1)
+
+
+def lattice_ominus(x, z):
+    """Group difference on the torus: ``(x - z) mod 1`` (fast_gp_lattice.py:263)."""
+    return (x - z) % 1.0
+
+
+# ---------------------------------------------------------------------------
+# digitally-shift-invariant (digital net) kernel
+# ---------------------------------------------------------------------------
+
+def dsi_parts_from_delta(delta_b, t: int, alpha: np.ndarray, beta: np.ndarray, kappa: np.ndarray,
+                         dtype=jnp.float64):
+    """Per-dimension DSI series terms at binary differences ``delta_b``.
+
+    ``(-2)^(beta_j + kappa_j) * (ind_j + omega_{alpha_j - beta_j - kappa_j}
+    (delta_j))`` with ``ind_j = 1{beta_j + kappa_j > 0}`` — reference
+    behavior: fast_gp_digital_net_b2.py:289-301 (the order-1 closed form is
+    subsumed by :func:`omega_walsh`).
+
+    Args:
+        delta_b: (..., d) t-bit integer XOR differences.
+        t: static bit precision.
+        alpha, beta, kappa: static int vectors of length d.
+    """
+    alpha = np.asarray(alpha, dtype=np.int64)
+    beta = np.asarray(beta, dtype=np.int64)
+    kappa = np.asarray(kappa, dtype=np.int64)
+    d = delta_b.shape[-1]
+    bpk = beta + kappa
+    order = alpha - bpk
+    assert (order >= 1).all() and (order <= 4).all(), f"DSI order must be in [1,4], got {order}"
+    cols = []
+    for j in range(d):
+        om = omega_walsh(delta_b[..., j], t, int(order[j]), dtype=dtype)
+        ind = 1.0 if bpk[j] > 0 else 0.0
+        cols.append(((-2.0) ** bpk[j]) * (ind + om))
+    return jnp.stack(cols, axis=-1)
+
+
+def digital_ominus(xb, zb):
+    """Group difference in base 2: bitwise XOR (fast_gp_digital_net_b2.py:274)."""
+    return xb ^ zb
+
+
+# ---------------------------------------------------------------------------
+# shared assembly
+# ---------------------------------------------------------------------------
+
+def kernel_parts(parts_fn, x_or_b, z_or_b, ominus, beta0: np.ndarray, beta1: np.ndarray):
+    """Stack series terms over derivative multi-index pairs.
+
+    Returns (..., p0, p1, d) where ``...`` are the broadcast spatial dims of
+    ``ominus(x, z)`` — reference behavior: abstract_fast_gp.py:173-180.
+    """
+    delta = ominus(x_or_b, z_or_b)
+    p0, p1 = len(beta0), len(beta1)
+    rows = []
+    for i0 in range(p0):
+        cols = []
+        for i1 in range(p1):
+            cols.append(parts_fn(delta, beta0[i0], beta1[i1]))
+        rows.append(jnp.stack(cols, axis=-2))
+    return jnp.stack(rows, axis=-3)
+
+
+def kernel_from_parts(parts, beta0: np.ndarray, beta1: np.ndarray, c0, c1, scale, lengthscales):
+    """Hyperparameter contraction of cached series terms.
+
+    ``sum_{i0,i1} c0[i0] c1[i1] * scale * prod_j (ind_j + lengthscales_j *
+    parts[..., i0, i1, j])`` with ``ind_j = 1{beta0_j + beta1_j == 0}`` —
+    reference behavior: abstract_fast_gp.py:181-191.
+
+    Args:
+        parts: (..., p0, p1, d).
+        scale: (*batch, 1); lengthscales: (*batch, d) or (*batch, 1).
+
+    Returns:
+        (*batch_broadcast, ...) kernel values (spatial dims of parts minus
+        the trailing (p0, p1, d)).
+    """
+    nd = parts.ndim
+    scale_r = scale.reshape(scale.shape + (1,) * (nd - 2))
+    ls_r = lengthscales.reshape(lengthscales.shape[:-1] + (1,) * (nd - 1) + lengthscales.shape[-1:])
+    ind = jnp.asarray((np.asarray(beta0)[:, None, :] + np.asarray(beta1)[None, :, :]) == 0,
+                      dtype=parts.dtype)
+    terms = scale_r * jnp.prod(ind + ls_r * parts, axis=-1)
+    c0 = jnp.asarray(c0, dtype=parts.dtype)
+    c1 = jnp.asarray(c1, dtype=parts.dtype)
+    return jnp.sum(jnp.sum(terms * c1, axis=-1) * c0, axis=-1)

@@ -1,0 +1,158 @@
+"""Orthonormal fast transforms diagonalizing structured Gram matrices.
+
+Two transforms, both acting on the last axis (length n = 2^m):
+
+* ``fftbr`` / ``ifftbr`` — the orthonormal FFT composed with the bit-reversal
+  permutation.  With lattice points in natural (van der Corput) order, the
+  Gram matrix of a shift-invariant kernel satisfies ``K = ifftbr . diag(sqrt(n)
+  * fftbr(k1)) . fftbr`` where ``k1`` is the first Gram column.  (Reference
+  behavior: qmcpy ``fftbr_torch``/``ifftbr_torch`` used at
+  fast_gp_lattice.py:224-225.)
+* ``fwht`` — the orthonormal fast Walsh–Hadamard transform (self-inverse).
+  Digital-net Gram matrices of digitally-shift-invariant kernels satisfy
+  ``K = fwht . diag(sqrt(n) * fwht(k1)) . fwht``.  (Reference behavior:
+  qmcpy ``fwht_torch`` used at fast_gp_digital_net_b2.py:226.)
+
+Numerically-stabilized wrappers ``ft_stable``/``ift_stable`` subtract the mean
+before transforming and add ``mean * sqrt(n)`` back into the DC bin, avoiding
+catastrophic cancellation for near-constant inputs (reference behavior:
+abstract_fast_gp.py:197-228).
+
+The FWHT is evaluated as a sequence of Hadamard-matrix contractions over a
+multi-axis reshape (n = prod of factors <= 256), so XLA maps it onto the TPU
+MXU instead of a scalar butterfly network.  A fused single-HBM-round-trip
+Pallas kernel lives in ops/pallas_fwht.py and is used automatically on TPU
+for supported sizes.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bitops import bit_reverse_permutation, log2_int
+
+
+@functools.lru_cache(maxsize=32)
+def _hadamard_np(m: int) -> np.ndarray:
+    """Unnormalized +/-1 Hadamard matrix of size 2^m (Sylvester order)."""
+    h = np.array([[1.0]])
+    for _ in range(m):
+        h = np.block([[h, h], [h, -h]])
+    return h
+
+
+def _fwht_factors(m: int) -> list:
+    """Split m into factors of at most 8 (Hadamard blocks of size <= 256)."""
+    out = []
+    while m > 0:
+        f = min(m, 8)
+        # avoid a tiny trailing factor: prefer balanced splits like 8+7 over 8+8+...
+        if 0 < m - f < 3 and f > 4:
+            f = (m + 1) // 2
+        out.append(f)
+        m -= f
+    return out
+
+
+def fwht(x: jax.Array) -> jax.Array:
+    """Orthonormal fast Walsh–Hadamard transform along the last axis.
+
+    Implemented as Hadamard-matrix contractions on a multi-axis view of the
+    last dimension: with n = n1*n2*...*nk, ``H_n = H_{n1} (x) ... (x) H_{nk}``
+    (Kronecker), so each factor is one batched matmul on the MXU.
+    """
+    n = x.shape[-1]
+    if n == 1:
+        return x
+    m = log2_int(n)
+    factors = _fwht_factors(m)
+    batch_shape = x.shape[:-1]
+    sizes = [1 << f for f in factors]
+    y = x.reshape((-1,) + tuple(sizes))
+    k = len(sizes)
+    for axis, f in enumerate(factors):
+        h = jnp.asarray(_hadamard_np(f), dtype=x.dtype)
+        y = jnp.moveaxis(jnp.tensordot(y, h, axes=[[axis + 1], [1]]), -1, axis + 1)
+    y = y.reshape(batch_shape + (n,))
+    return y * jnp.asarray(1.0 / math.sqrt(n), dtype=x.dtype)
+
+
+def fftbr(x: jax.Array) -> jax.Array:
+    """Orthonormal FFT of the bit-reverse-permuted input (last axis).
+
+    ``fftbr(v) = FFT_ortho(v[rho])`` with ``rho`` the bit-reversal involution.
+    Natural-order lattice Gram matrices are diagonalized by this transform
+    without any explicit data permutation at the call site.
+    """
+    n = x.shape[-1]
+    if n == 1:
+        return x.astype(_complex_dtype(x.dtype))
+    m = log2_int(n)
+    perm = jnp.asarray(bit_reverse_permutation(m))
+    return jnp.fft.fft(jnp.take(x, perm, axis=-1), norm="ortho")
+
+
+def ifftbr(x: jax.Array) -> jax.Array:
+    """Inverse of :func:`fftbr`: bit-reverse-permuted orthonormal IFFT."""
+    n = x.shape[-1]
+    if n == 1:
+        return x
+    m = log2_int(n)
+    perm = jnp.asarray(bit_reverse_permutation(m))
+    return jnp.take(jnp.fft.ifft(x, norm="ortho"), perm, axis=-1)
+
+
+def _complex_dtype(real_dtype):
+    return jnp.complex128 if jnp.dtype(real_dtype) == jnp.float64 else jnp.complex64
+
+
+def _real_dtype(cdtype):
+    return jnp.float64 if jnp.dtype(cdtype) == jnp.complex128 else jnp.float32
+
+
+def _stabilize(transform, x):
+    n = x.shape[-1]
+    xmean = jnp.mean(x, axis=-1, keepdims=True)
+    y = transform(x - xmean)
+    bump = (xmean[..., 0] * jnp.asarray(math.sqrt(n), dtype=xmean.dtype)).astype(y.dtype)
+    return y.at[..., 0].add(bump)
+
+
+def ft_stable_lattice(x: jax.Array) -> jax.Array:
+    """Mean-centered ``fftbr`` (reference ``ft`` wrapper, abstract_fast_gp.py:197)."""
+    return _stabilize(fftbr, x)
+
+
+def ift_stable_lattice(x: jax.Array) -> jax.Array:
+    """Mean-centered ``ifftbr`` (reference ``ift`` wrapper, abstract_fast_gp.py:213)."""
+    return _stabilize(ifftbr, x)
+
+
+def ft_stable_fwht(x: jax.Array) -> jax.Array:
+    """Mean-centered orthonormal FWHT (self-inverse)."""
+    return _stabilize(fwht, x)
+
+
+def get_omega_lattice(m: int, dtype=jnp.complex128) -> jax.Array:
+    """Twiddles ``exp(-i pi k / 2^m)`` for the lattice doubling butterfly.
+
+    Reference behavior: FastGPLattice.get_omega (fast_gp_lattice.py:261-262).
+    """
+    k = jnp.arange(1 << m)
+    return jnp.exp(jnp.asarray(-1j * math.pi, dtype=dtype) * k / (1 << m))
+
+
+def merge_doubling(prev: jax.Array, new_half_t: jax.Array, omega) -> jax.Array:
+    """One radix-2 decimation-in-time merge used for incremental doubling.
+
+    Given ``prev = ft(v[:n])`` and ``new_half_t = ft(v[n:2n])`` (both length n)
+    returns ``ft(v[:2n])`` as ``[prev + w*new, prev - w*new] / sqrt(2)`` where
+    ``w`` are the lattice twiddles (or 1 for the FWHT).  Reference behavior:
+    util.py:113-126 (eigenvalues) and util.py:173-183 (ytilde).
+    """
+    wn = new_half_t * omega
+    scale = jnp.asarray(1.0 / math.sqrt(2.0), dtype=wn.dtype)
+    return jnp.concatenate([prev + wn, prev - wn], axis=-1) * scale

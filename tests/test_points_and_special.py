@@ -1,0 +1,119 @@
+"""Point generators, Bernoulli polynomials, weighted Walsh functions."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fastgaussianprocesses_tpu.ops import walsh
+from fastgaussianprocesses_tpu.ops.bernoulli import bernoulli_poly
+from fastgaussianprocesses_tpu.points.digital_net import DigitalNetB2
+from fastgaussianprocesses_tpu.points.halton import Halton
+from fastgaussianprocesses_tpu.points.lattice import LatticeSeq, van_der_corput
+
+
+def test_vdc_nested_and_values():
+    np.testing.assert_allclose(van_der_corput(np.arange(8)),
+                               [0, 0.5, 0.25, 0.75, 0.125, 0.625, 0.375, 0.875])
+
+
+def test_lattice_nested_group_structure():
+    seq = LatticeSeq(3, seed=7)
+    x16 = seq(0, 16)
+    # first 8 points of the 16-point set are the 8-point lattice
+    np.testing.assert_allclose(seq(0, 8), x16[:8])
+    # unshifted differences form the lattice group: (x_i - x_0) mod 1 all lie on the grid
+    diffs = (x16 - x16[0]) % 1.0
+    g = seq.gen_vec.astype(np.float64)
+    grid = (van_der_corput(np.arange(16))[:, None] * g) % 1.0
+    np.testing.assert_allclose(np.sort(diffs, axis=0), np.sort(grid, axis=0), atol=1e-12)
+
+
+def test_lattice_slicing():
+    seq = LatticeSeq(2, seed=1)
+    full = seq(0, 32)
+    np.testing.assert_allclose(seq(16, 32), full[16:])
+
+
+def test_digital_net_group_structure():
+    seq = DigitalNetB2(4, seed=3, randomize="DS")
+    xb = seq(0, 16, return_binary=True)
+    # natural order: xb_i ^ xb_0 == xb_{i} of the unshifted net; group closure:
+    base = xb ^ xb[0]
+    base_set = {tuple(row) for row in base.tolist()}
+    for i in range(16):
+        for j in range(16):
+            assert tuple((base[i] ^ base[j]).tolist()) in base_set
+    # nested
+    np.testing.assert_array_equal(seq(0, 8, return_binary=True), xb[:8])
+    # float/binary consistency
+    xf = seq(0, 16)
+    np.testing.assert_allclose(xf, xb.astype(np.float64) * 2.0**-seq.t)
+
+
+def test_digital_net_uniformity():
+    seq = DigitalNetB2(2, seed=0, randomize="DS")
+    x = seq(0, 256)
+    assert abs(x.mean() - 0.5) < 0.01
+    # 1d projections are stratified: each of 256 bins has exactly one point
+    for j in range(2):
+        counts = np.bincount((x[:, j] * 256).astype(int), minlength=256)
+        assert counts.max() == 1
+
+
+def test_lms_scramble_preserves_net():
+    """LMS keeps elementary-interval stratification in 1d projections."""
+    seq = DigitalNetB2(2, seed=5, randomize="LMS_DS")
+    x = seq(0, 64)
+    for j in range(2):
+        counts = np.bincount((x[:, j] * 64).astype(int), minlength=64)
+        assert counts.max() == 1
+
+
+def test_halton_first_points():
+    h = Halton(2, randomize="FALSE")
+    x = h(0, 4)
+    np.testing.assert_allclose(x[:, 0], [0, 0.5, 0.25, 0.75])
+    np.testing.assert_allclose(x[:, 1], [0, 1 / 3, 2 / 3, 1 / 9])
+
+
+def test_bernoulli_values():
+    x = jnp.asarray([0.0, 0.25, 0.5, 1.0])
+    np.testing.assert_allclose(np.asarray(bernoulli_poly(2, x)),
+                               [1 / 6, 1 / 16 - 1 / 4 + 1 / 6, -1 / 12, 1 / 6], atol=1e-12)
+    # B_n(0) = B_n (Bernoulli numbers)
+    np.testing.assert_allclose(float(bernoulli_poly(4, jnp.asarray(0.0))), -1 / 30, atol=1e-15)
+    np.testing.assert_allclose(float(bernoulli_poly(6, jnp.asarray(0.0))), 1 / 42, atol=1e-15)
+    # symmetry B_n(1-x) = (-1)^n B_n(x)
+    xs = jnp.linspace(0, 1, 11)
+    for order in range(2, 9):
+        np.testing.assert_allclose(np.asarray(bernoulli_poly(order, 1 - xs)),
+                                   (-1.0) ** order * np.asarray(bernoulli_poly(order, xs)), atol=1e-12)
+
+
+def test_omega_order1_matches_closed_form():
+    t = 12
+    xb = jnp.asarray(np.arange(0, 1 << t, 7), dtype=jnp.int64)
+    got = walsh.omega_walsh(xb, t, 1)
+    want = walsh.omega_order1_closed_form(xb, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+
+
+@pytest.mark.parametrize("alpha", [1, 2, 3, 4])
+def test_omega_matches_bruteforce_series(alpha):
+    t = 8
+    xb = np.array([0, 1, 5, 37, 128, 200, 255], dtype=np.int64)
+    got = np.asarray(walsh.omega_walsh(jnp.asarray(xb), t, alpha))
+    want = walsh.omega_walsh_reference(xb, t, alpha, kmax=1 << 17)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("alpha", [1, 2, 3])
+def test_omega_integrates_to_zero(alpha):
+    """sum over all t-bit points of omega == 0 (kernel integrates to scale)."""
+    t = 10
+    xb = jnp.arange(1 << t)
+    vals = np.asarray(walsh.omega_walsh(xb, t, alpha))
+    # discrete t-bit mean differs from the exact integral 0 only by the
+    # O(4^-t) tail of Walsh modes supported entirely beyond t bits
+    assert abs(vals.mean()) < 1e-5

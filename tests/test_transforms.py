@@ -1,0 +1,90 @@
+"""Transforms: orthonormality, inversion, doubling butterflies, stability wrapper."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fastgaussianprocesses_tpu.ops import transforms as tr
+from fastgaussianprocesses_tpu.ops.bitops import bit_reverse_permutation
+
+
+def _dense_fwht(n):
+    h = np.array([[1.0]])
+    while h.shape[0] < n:
+        h = np.block([[h, h], [h, -h]])
+    return h / np.sqrt(n)
+
+
+@pytest.mark.parametrize("m", [0, 1, 3, 5, 9, 12])
+def test_fwht_matches_dense(m):
+    n = 1 << m
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, n))
+    got = np.asarray(tr.fwht(jnp.asarray(x)))
+    want = x @ _dense_fwht(n).T
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+@pytest.mark.parametrize("m", [1, 4, 10])
+def test_fwht_self_inverse(m):
+    n = 1 << m
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, n))
+    y = tr.fwht(tr.fwht(jnp.asarray(x)))
+    np.testing.assert_allclose(np.asarray(y), x, atol=1e-10)
+
+
+@pytest.mark.parametrize("m", [0, 1, 2, 5, 10])
+def test_fftbr_inverse_and_unitarity(m):
+    n = 1 << m
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, n)) + 1j * rng.normal(size=(2, n))
+    y = tr.fftbr(jnp.asarray(x))
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(y), axis=-1), np.linalg.norm(x, axis=-1), atol=1e-10)
+    back = tr.ifftbr(y)
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-10)
+
+
+def test_fftbr_definition():
+    m, n = 4, 16
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=n)
+    perm = bit_reverse_permutation(m)
+    want = np.fft.fft(x[perm], norm="ortho")
+    got = np.asarray(tr.fftbr(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_stability_wrapper_equals_plain():
+    """Mean-centered wrapper is algebraically identical to the raw transform."""
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 64)) + 100.0
+    np.testing.assert_allclose(
+        np.asarray(tr.ft_stable_lattice(jnp.asarray(x))),
+        np.asarray(tr.fftbr(jnp.asarray(x))),
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr.ft_stable_fwht(jnp.asarray(x))),
+        np.asarray(tr.fwht(jnp.asarray(x))),
+        atol=1e-8,
+    )
+
+
+@pytest.mark.parametrize("kind", ["lattice", "fwht"])
+def test_doubling_butterfly(kind):
+    """merge_doubling(ft(v[:n]), ft(v[n:])) == ft(v[:2n]) (util.py:113-126)."""
+    rng = np.random.default_rng(5)
+    m = 6
+    v = rng.normal(size=(3, 1 << (m + 1)))
+    n = 1 << m
+    if kind == "lattice":
+        ft = tr.fftbr
+        omega = tr.get_omega_lattice(m)
+    else:
+        ft = tr.fwht
+        omega = 1.0
+    got = tr.merge_doubling(ft(jnp.asarray(v[:, :n])), ft(jnp.asarray(v[:, n:])), omega)
+    want = ft(jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-10)
