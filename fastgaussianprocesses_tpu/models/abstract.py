@@ -1,0 +1,635 @@
+"""Shared GP engine: parameter system, data ingestion, fit loop, posterior API.
+
+Functional-core / stateful-shell design: this host-side wrapper owns the
+hyperparameters, data buffers and geometric caches, and dispatches to pure
+jitted functions (built by the concrete models) keyed by the static shape
+signature — the power-of-two doubling protocol keeps the number of compiled
+buckets logarithmic in n.
+
+API parity target: fastgps ``AbstractGP`` (reference abstract_gp.py:12-706).
+"""
+
+import math
+from typing import List, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fit.rprop import rprop_init, rprop_update
+from .params import IDENTITY, LOG_EXP, Param, make_param
+
+
+def _as_task_array(task, num_tasks):
+    """Normalize a task argument to (array, was_int)."""
+    inttask = isinstance(task, (int, np.integer))
+    if inttask:
+        task = np.asarray([task], dtype=np.int64)
+    else:
+        task = np.asarray(task, dtype=np.int64)
+    assert task.ndim == 1 and (task >= 0).all() and (task < num_tasks).all()
+    return task, inttask
+
+
+def norm_ppf(q, dtype=jnp.float64):
+    """Standard normal quantile (reference: scipy.stats.norm.ppf)."""
+    return float(jax.scipy.special.ndtri(jnp.asarray(q, dtype=jnp.float64)))
+
+
+class AbstractGP:
+    """Base class; concrete models provide sampling, kernels and solvers."""
+
+    def __init__(self,
+                 seqs,
+                 num_tasks=None,
+                 scale=1.0,
+                 lengthscales=1.0,
+                 noise=1e-8,
+                 factor_task_kernel=1.0,
+                 rank_factor_task_kernel=None,
+                 noise_task_kernel=1.0,
+                 tfs_scale=LOG_EXP,
+                 tfs_lengthscales=LOG_EXP,
+                 tfs_noise=LOG_EXP,
+                 tfs_factor_task_kernel=IDENTITY,
+                 tfs_noise_task_kernel=LOG_EXP,
+                 requires_grad_scale=True,
+                 requires_grad_lengthscales=True,
+                 requires_grad_noise=False,
+                 requires_grad_factor_task_kernel=None,
+                 requires_grad_noise_task_kernel=None,
+                 shape_batch=(),
+                 shape_scale=(1,),
+                 shape_lengthscales=None,
+                 shape_noise=(1,),
+                 shape_factor_task_kernel=None,
+                 shape_noise_task_kernel=None,
+                 derivatives=None,
+                 derivatives_coeffs=None,
+                 adaptive_nugget=False,
+                 dtype=None):
+        if num_tasks is None:
+            self.solo_task = True
+            self.default_task = 0
+            num_tasks = 1
+        else:
+            assert isinstance(num_tasks, int) and num_tasks > 0
+            self.solo_task = False
+            self.default_task = np.arange(num_tasks)
+        self.num_tasks = num_tasks
+        from ..config import default_dtype
+        self.dtype = jnp.dtype(dtype) if dtype is not None else jnp.dtype(default_dtype())
+        assert len(seqs) == num_tasks, f"need {num_tasks} sequence generators"
+        self.seqs = list(seqs)
+        self.d = self.seqs[0].d
+        assert all(s.d == self.d for s in self.seqs)
+        self.n = np.zeros(num_tasks, dtype=np.int64)
+        # derivatives (reference abstract_gp.py:58-72: derivative mode pins the
+        # task kernel to the all-ones rank-1 Gram)
+        if derivatives is not None or derivatives_coeffs is not None:
+            rank_factor_task_kernel = 1
+            tfs_noise_task_kernel = IDENTITY
+            noise_task_kernel = 0.0
+        if derivatives is None:
+            derivatives = [np.zeros((1, self.d), dtype=np.int64) for _ in range(num_tasks)]
+        if isinstance(derivatives, (np.ndarray, jnp.ndarray)):
+            derivatives = [derivatives]
+        assert isinstance(derivatives, list) and len(derivatives) == num_tasks
+        derivatives = [np.atleast_2d(np.asarray(dv, dtype=np.int64)) for dv in derivatives]
+        assert all(dv.ndim == 2 and dv.shape[1] == self.d for dv in derivatives)
+        self.derivatives = derivatives
+        if derivatives_coeffs is None:
+            derivatives_coeffs = [np.ones(len(dv)) for dv in derivatives]
+        derivatives_coeffs = [np.asarray(c, dtype=np.float64) for c in derivatives_coeffs]
+        assert all(c.shape == (len(dv),) for c, dv in zip(derivatives_coeffs, derivatives))
+        self.derivatives_coeffs = derivatives_coeffs
+        self._has_derivatives = any((dv > 0).any() or (c != 1).any()
+                                    for dv, c in zip(derivatives, derivatives_coeffs))
+        # batch shape
+        self.shape_batch = tuple(shape_batch)
+        self.ndim_batch = len(self.shape_batch)
+        # parameters (shape/transform rules mirror abstract_gp.py:78-139)
+        if shape_lengthscales is None:
+            shape_lengthscales = (self.d,)
+        assert tuple(np.shape(scale))[-1:] in ((), (1,)) or True
+        if shape_factor_task_kernel is None:
+            if rank_factor_task_kernel is None:
+                rank_factor_task_kernel = 0 if num_tasks == 1 else 1
+            assert 0 <= rank_factor_task_kernel <= num_tasks
+            shape_factor_task_kernel = (num_tasks, rank_factor_task_kernel)
+        if shape_noise_task_kernel is None:
+            shape_noise_task_kernel = (num_tasks,)
+        if requires_grad_factor_task_kernel is None:
+            requires_grad_factor_task_kernel = num_tasks > 1
+        if requires_grad_noise_task_kernel is None:
+            requires_grad_noise_task_kernel = num_tasks > 1
+        sb = self.shape_batch
+        self.params = {
+            "scale": make_param("scale", scale, shape_scale, tfs_scale,
+                                requires_grad_scale, sb, 1, self.dtype),
+            "lengthscales": make_param("lengthscales", lengthscales, shape_lengthscales,
+                                       tfs_lengthscales, requires_grad_lengthscales, sb, 1, self.dtype),
+            "noise": make_param("noise", noise, shape_noise, tfs_noise,
+                                requires_grad_noise, sb, 1, self.dtype),
+            "factor_task_kernel": make_param("factor_task_kernel", factor_task_kernel,
+                                             shape_factor_task_kernel, tfs_factor_task_kernel,
+                                             requires_grad_factor_task_kernel, sb, 2, self.dtype,
+                                             positive=False),
+            "noise_task_kernel": make_param("noise_task_kernel", noise_task_kernel,
+                                            shape_noise_task_kernel, tfs_noise_task_kernel,
+                                            requires_grad_noise_task_kernel, sb, 1, self.dtype,
+                                            positive=True, allow_nonneg=True),
+        }
+        assert self.params["scale"].raw.shape[-1] == 1
+        assert self.params["noise"].raw.shape[-1] == 1
+        ls_last = self.params["lengthscales"].raw.shape[-1]
+        assert ls_last in (1, self.d)
+        if self._has_derivatives:
+            self.params["factor_task_kernel"] = self.params["factor_task_kernel"]._replace(trainable=False)
+            self.params["noise_task_kernel"] = self.params["noise_task_kernel"]._replace(trainable=False)
+            assert np.allclose(np.asarray(self.gram_matrix_tasks), 1.0), (
+                "derivative mode requires an all-ones task Gram (abstract_gp.py:146-151)")
+        self.adaptive_nugget = bool(adaptive_nugget)
+        # data and geometric caches
+        self._y = [jnp.zeros(self.shape_batch + (0,), dtype=self.dtype) for _ in range(num_tasks)]
+        self._x_cache = [None] * num_tasks   # numpy float points
+        self._xb_cache = [None] * num_tasks  # numpy binary/int or alias of float
+        self._version = 0  # bumped on any parameter change
+        self._coeffs_cache = None  # (version, n_tuple) -> coeffs
+        self._factor_cache = {}
+
+    # ------------------------------------------------------------------
+    # parameter access
+    # ------------------------------------------------------------------
+    @property
+    def scale(self):
+        return self.params["scale"].value
+
+    @property
+    def lengthscales(self):
+        return self.params["lengthscales"].value
+
+    @property
+    def noise(self):
+        return self.params["noise"].value
+
+    @property
+    def factor_task_kernel(self):
+        return self.params["factor_task_kernel"].value
+
+    @property
+    def noise_task_kernel(self):
+        return self.params["noise_task_kernel"].value
+
+    @property
+    def gram_matrix_tasks(self):
+        """Task Gram ``F F^T + diag(v)`` (reference util.py:157-162)."""
+        return self._task_gram({k: p.raw for k, p in self.params.items()})
+
+    def _task_gram(self, raw):
+        f = self.params["factor_task_kernel"].from_raw(raw["factor_task_kernel"])
+        v = self.params["noise_task_kernel"].from_raw(raw["noise_task_kernel"])
+        kmat = jnp.einsum("...il,...kl->...ik", f, f)
+        return kmat + v[..., None] * jnp.eye(self.num_tasks, dtype=self.dtype)
+
+    def _transformed(self, raw):
+        return {k: self.params[k].from_raw(raw[k]) for k in raw}
+
+    def _raw_dict(self):
+        return {k: p.raw for k, p in self.params.items()}
+
+    def _set_raw(self, raw):
+        for k, v in raw.items():
+            self.params[k] = self.params[k]._replace(raw=v)
+        self._version += 1
+
+    @property
+    def total_parameters(self):
+        return sum(int(np.prod(p.raw.shape)) for p in self.params.values())
+
+    @property
+    def total_tuneable_parameters(self):
+        return sum(int(np.prod(p.raw.shape)) for p in self.params.values() if p.trainable)
+
+    @property
+    def m(self):
+        return np.where(self.n == 0, -1, np.log2(np.maximum(self.n, 1)).astype(np.int64))
+
+    # ------------------------------------------------------------------
+    # point/data management
+    # ------------------------------------------------------------------
+    def _get_xxb(self, task: int, n: int):
+        """Grow and slice the cached point sequence for one task."""
+        cur = 0 if self._x_cache[task] is None else self._x_cache[task].shape[0]
+        if n > cur:
+            x_new, xb_new = self._sample(self.seqs[task], cur, n)
+            if self._x_cache[task] is None:
+                self._x_cache[task], self._xb_cache[task] = x_new, xb_new
+            else:
+                self._x_cache[task] = np.concatenate([self._x_cache[task], x_new], 0)
+                if xb_new is x_new:
+                    self._xb_cache[task] = self._x_cache[task]
+                else:
+                    self._xb_cache[task] = np.concatenate([self._xb_cache[task], xb_new], 0)
+        return self._x_cache[task][:n], self._xb_cache[task][:n]
+
+    def get_x(self, task: int, n=None):
+        if n is None:
+            n = self.n[task]
+        return jnp.asarray(self._get_xxb(task, int(n))[0], dtype=self.dtype)
+
+    def get_xb(self, task: int, n=None):
+        if n is None:
+            n = self.n[task]
+        xb = self._get_xxb(task, int(n))[1]
+        return jnp.asarray(xb) if not np.issubdtype(xb.dtype, np.floating) else jnp.asarray(xb, dtype=self.dtype)
+
+    @property
+    def x(self):
+        xs = [self.get_x(l) for l in range(self.num_tasks)]
+        return xs[0] if self.solo_task else xs
+
+    @property
+    def y(self):
+        return self._y[0] if self.solo_task else self._y
+
+    def get_x_next(self, n, task=None):
+        """Next sampling locations (reference abstract_gp.py:310-330)."""
+        if isinstance(n, (int, np.integer)):
+            n = [int(n)]
+        n = np.asarray(n, dtype=np.int64)
+        if task is None:
+            task = self.default_task
+        task, inttask = _as_task_array(task, self.num_tasks)
+        assert n.shape == task.shape
+        assert (n >= self.n[task]).all(), "n must be >= current sample counts"
+        xs = [jnp.asarray(self._get_xxb(int(l), int(n[i]))[0][self.n[l]:], dtype=self.dtype)
+              for i, l in enumerate(task)]
+        return xs[0] if inttask else xs
+
+    def add_y_next(self, y_next, task=None):
+        """Ingest new observations (reference abstract_gp.py:331-351)."""
+        if isinstance(y_next, (jnp.ndarray, np.ndarray)):
+            y_next = [y_next]
+        if task is None:
+            task = self.default_task
+        task, _ = _as_task_array(task, self.num_tasks)
+        assert len(y_next) == len(task)
+        for i, l in enumerate(task):
+            yi = jnp.asarray(y_next[i], dtype=self.dtype)
+            assert yi.shape[:-1] == self.shape_batch, (
+                f"y batch shape {yi.shape[:-1]} != shape_batch {self.shape_batch}")
+            self._y[l] = jnp.concatenate([self._y[l], yi], -1)
+        self.n = np.array([self._y[l].shape[-1] for l in range(self.num_tasks)], dtype=np.int64)
+        self._coeffs_cache = None
+        self._on_data_change()
+
+    def _on_data_change(self):
+        pass
+
+    # ------------------------------------------------------------------
+    # kernel public API (reference abstract_gp.py:693-706)
+    # ------------------------------------------------------------------
+    def kernel(self, x, z, beta0=None, beta1=None, c0=None, c1=None):
+        x = jnp.asarray(x)
+        z = jnp.asarray(z)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            x = x.astype(self.dtype)
+        if jnp.issubdtype(z.dtype, jnp.floating):
+            z = z.astype(self.dtype)
+        if beta0 is None:
+            beta0 = np.zeros((1, self.d), dtype=np.int64)
+        beta0 = np.atleast_2d(np.asarray(beta0, dtype=np.int64))
+        if beta1 is None:
+            beta1 = np.zeros((1, self.d), dtype=np.int64)
+        beta1 = np.atleast_2d(np.asarray(beta1, dtype=np.int64))
+        if c0 is None:
+            c0 = np.ones(len(beta0))
+        if c1 is None:
+            c1 = np.ones(len(beta1))
+        return self._kernel_explicit(x, z, beta0, beta1, np.asarray(c0), np.asarray(c1),
+                                     self.scale, self.lengthscales)
+
+    # ------------------------------------------------------------------
+    # solver plumbing (provided by concrete models)
+    # ------------------------------------------------------------------
+    def _solver(self, n=None):
+        """Return a solver handle for sample counts ``n`` (>= current)."""
+        raise NotImplementedError
+
+    def _sample(self, seq, n_min, n_max):
+        x = seq(n_min, n_max)
+        return x, x
+
+    def _kernel_explicit(self, x0, x1, beta0, beta1, c0, c1, scale, lengthscales):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # coefficients
+    # ------------------------------------------------------------------
+    @property
+    def coeffs(self):
+        r"""Coefficients $K^{-1} y$ (reference util.py:396-425)."""
+        key = (self._version, tuple(self.n.tolist()))
+        if self._coeffs_cache is None or self._coeffs_cache[0] != key:
+            ycat = jnp.concatenate(
+                [jnp.broadcast_to(self._y[l], self.shape_batch + (self._y[l].shape[-1],))
+                 for l in range(self.num_tasks)], -1)
+            coeffs = self._solver().gram_matrix_solve(ycat)
+            self._coeffs_cache = (key, coeffs)
+        return self._coeffs_cache[1]
+
+    # ------------------------------------------------------------------
+    # posterior queries
+    # ------------------------------------------------------------------
+    def _norm_n(self, n):
+        if n is None:
+            n = self.n
+        if isinstance(n, (int, np.integer)):
+            n = np.asarray([n] * self.num_tasks if self.num_tasks > 1 else [n], dtype=np.int64)
+        n = np.asarray(n, dtype=np.int64)
+        assert n.shape == (self.num_tasks,) and (n >= self.n).all()
+        return n
+
+    def _cross_kmat(self, x, task, n):
+        """(..., T, N, sum n_l) cross-covariance against the training set."""
+        kmat_tasks = self.gram_matrix_tasks
+        scale, ls = self.scale, self.lengthscales
+        rows = []
+        for t in task:
+            cols = []
+            for l1 in range(self.num_tasks):
+                xb1 = self.get_xb(l1, n=n[l1])
+                kv = self._kernel_explicit(x[:, None, :], xb1[None, :, :],
+                                           self.derivatives[t], self.derivatives[l1],
+                                           self.derivatives_coeffs[t], self.derivatives_coeffs[l1],
+                                           scale, ls)
+                cols.append(kmat_tasks[..., t, l1, None, None] * kv)
+            rows.append(jnp.concatenate(cols, -1)[..., None, :, :])
+        return jnp.concatenate(rows, -3)
+
+    def post_mean(self, x, task=None):
+        """Posterior mean (reference abstract_gp.py:352-380)."""
+        x = jnp.asarray(x, dtype=self.dtype)
+        assert x.ndim == 2 and x.shape[1] == self.d
+        coeffs = self.coeffs
+        if task is None:
+            task = self.default_task
+        task, inttask = _as_task_array(task, self.num_tasks)
+        kmat = self._cross_kmat(x, task, self.n)
+        pmean = jnp.einsum("...i,...i->...", kmat, coeffs[..., None, None, :])
+        return pmean[..., 0, :] if inttask else pmean
+
+    def post_var(self, x, task=None, n=None):
+        """Posterior variance (reference abstract_gp.py:381-416)."""
+        x = jnp.asarray(x, dtype=self.dtype)
+        assert x.ndim == 2 and x.shape[1] == self.d
+        n = self._norm_n(n)
+        kmat_tasks = self.gram_matrix_tasks
+        scale, ls = self.scale, self.lengthscales
+        if task is None:
+            task = self.default_task
+        task, inttask = _as_task_array(task, self.num_tasks)
+        prior = jnp.stack([
+            kmat_tasks[..., t, t, None] * self._kernel_explicit(
+                x, x, self.derivatives[t], self.derivatives[t],
+                self.derivatives_coeffs[t], self.derivatives_coeffs[t], scale, ls)
+            for t in task], -2)
+        kmat = self._cross_kmat(x, task, n)
+        t_sol = self._solver(n).gram_matrix_solve(kmat, extra_ndim=2)
+        diag = prior - (t_sol * kmat).sum(-1)
+        diag = jnp.maximum(diag, 0.0)
+        return diag[..., 0, :] if inttask else diag
+
+    def post_cov(self, x0, x1, task0=None, task1=None, n=None):
+        """Posterior covariance (reference abstract_gp.py:417-474)."""
+        x0 = jnp.asarray(x0, dtype=self.dtype)
+        x1 = jnp.asarray(x1, dtype=self.dtype)
+        assert x0.ndim == 2 and x0.shape[1] == self.d
+        assert x1.ndim == 2 and x1.shape[1] == self.d
+        n = self._norm_n(n)
+        kmat_tasks = self.gram_matrix_tasks
+        scale, ls = self.scale, self.lengthscales
+        if task0 is None:
+            task0 = self.default_task
+        if task1 is None:
+            task1 = self.default_task
+        task0, inttask0 = _as_task_array(task0, self.num_tasks)
+        task1, inttask1 = _as_task_array(task1, self.num_tasks)
+        equal = x0.shape == x1.shape and bool(jnp.all(x0 == x1)) and np.array_equal(task0, task1)
+        prior = jnp.stack([jnp.stack([
+            kmat_tasks[..., t0, t1, None, None] * self._kernel_explicit(
+                x0[:, None, :], x1[None, :, :], self.derivatives[t0], self.derivatives[t1],
+                self.derivatives_coeffs[t0], self.derivatives_coeffs[t1], scale, ls)
+            for t1 in task1], -3) for t0 in task0], -4)
+        kmat1 = self._cross_kmat(x0, task0, n)
+        kmat2 = kmat1 if equal else self._cross_kmat(x1, task1, n)
+        t_sol = self._solver(n).gram_matrix_solve(kmat2, extra_ndim=2)
+        pcov = prior - jnp.einsum("...ani,...bmi->...abnm",
+                                  kmat1, t_sol)
+        if equal:
+            tvec = np.arange(pcov.shape[-3])
+            nvec = np.arange(x0.shape[0])
+            diag = pcov[..., tvec[:, None], tvec[:, None], nvec[None, :], nvec[None, :]]
+            diag = jnp.maximum(diag, 0.0)
+            pcov = pcov.at[..., tvec[:, None], tvec[:, None], nvec[None, :], nvec[None, :]].set(diag)
+        if inttask0 and inttask1:
+            return pcov[..., 0, 0, :, :]
+        if inttask0:
+            return pcov[..., 0, :, :, :]
+        if inttask1:
+            return pcov[..., :, 0, :, :]
+        return pcov
+
+    def post_error(self, x, task=None, n=None, confidence=0.99):
+        """Posterior error bound (reference abstract_gp.py:475-499)."""
+        assert 0 < confidence < 1
+        q = norm_ppf(1 - (1 - confidence) / 2)
+        pvar = self.post_var(x, task=task, n=n)
+        return pvar, q, q * jnp.sqrt(pvar)
+
+    def post_ci(self, x, task=None, confidence=0.99):
+        """Posterior credible interval (reference abstract_gp.py:500-526).
+
+        Note: reproduces the reference's published semantics where the
+        interval half-width is ``q * perror`` with ``perror = q * pstd``.
+        """
+        assert 0 < confidence < 1
+        q = norm_ppf(1 - (1 - confidence) / 2)
+        pmean = self.post_mean(x, task=task)
+        pvar, q, perror = self.post_error(x, task=task, confidence=confidence)
+        return pmean, pvar, q, pmean - q * perror, pmean + q * perror
+
+    def post_cubature_error(self, task=None, n=None, confidence=0.99):
+        """Cubature error bound (reference abstract_gp.py:566-589)."""
+        assert 0 < confidence < 1
+        q = norm_ppf(1 - (1 - confidence) / 2)
+        pcvar = self.post_cubature_var(task=task, n=n)
+        return pcvar, q, q * jnp.sqrt(pcvar)
+
+    def post_cubature_ci(self, task=None, confidence=0.99):
+        """Cubature credible interval (reference abstract_gp.py:590-615)."""
+        assert 0 < confidence < 1
+        pcmean = self.post_cubature_mean(task=task)
+        pcvar, q, pcerror = self.post_cubature_error(task=task, confidence=confidence)
+        return pcmean, pcvar, q, pcmean - pcerror, pcmean + pcerror
+
+    def post_cubature_mean(self, task=None):
+        raise NotImplementedError
+
+    def post_cubature_var(self, task=None, n=None):
+        raise NotImplementedError
+
+    def post_cubature_cov(self, task0=None, task1=None, n=None):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # fitting
+    # ------------------------------------------------------------------
+    def fit(self,
+            loss_metric: str = "MLL",
+            iterations: int = 5000,
+            lr: float = None,
+            stop_crit_improvement_threshold: float = 5e-2,
+            stop_crit_wait_iterations: int = 10,
+            store_hists: bool = False,
+            store_loss_hist: bool = False,
+            store_scale_hist: bool = False,
+            store_lengthscales_hist: bool = False,
+            store_noise_hist: bool = False,
+            store_task_kernel_hist: bool = False,
+            verbose: int = 5,
+            verbose_indent: int = 4,
+            masks=None,
+            cv_weights=1):
+        """Hyperparameter optimization by Rprop with early stopping.
+
+        Semantics mirror the reference fit loop (abstract_gp.py:152-306):
+        loss metrics MLL / GCV / CV, best-parameter restore, improvement-
+        threshold early stopping, optional history storage.
+        """
+        loss_metric = loss_metric.upper()
+        assert loss_metric in ("MLL", "GCV", "CV")
+        assert (self.n > 0).any(), "cannot fit without data"
+        assert isinstance(iterations, int) and iterations >= 0
+        if lr is None:
+            lr = 1e-1
+        logtol = math.log(1 + stop_crit_improvement_threshold)
+        store_loss_hist = store_hists or store_loss_hist
+        store_scale_hist = store_hists or (store_scale_hist and self.params["scale"].trainable)
+        store_lengthscales_hist = store_hists or (store_lengthscales_hist and self.params["lengthscales"].trainable)
+        store_noise_hist = store_hists or (store_noise_hist and self.params["noise"].trainable)
+        store_task_kernel_hist = store_hists or (store_task_kernel_hist and (
+            self.params["factor_task_kernel"].trainable or self.params["noise_task_kernel"].trainable))
+        hists = {}
+        if store_loss_hist:
+            hists["loss_hist"] = []
+        if store_scale_hist:
+            hists["scale_hist"] = []
+        if store_lengthscales_hist:
+            hists["lengthscales_hist"] = []
+        if store_noise_hist:
+            hists["noise_hist"] = []
+        if store_task_kernel_hist:
+            hists["task_kernel_hist"] = []
+        if masks is not None:
+            masks = np.atleast_2d(np.asarray(masks))
+            d_out = int(np.prod(np.empty(self.shape_batch)[(*masks,)].shape)) if self.shape_batch else 1
+        else:
+            d_out = int(np.prod(self.shape_batch)) if self.shape_batch else 1
+        if verbose:
+            _s = "%16s | %-10s | %-10s | %-10s" % ("iter of %.1e" % iterations, "loss", "term1", "term2")
+            print(" " * verbose_indent + _s)
+            print(" " * verbose_indent + "~" * len(_s))
+        mll_const = d_out * float(self.n.sum()) * math.log(2 * math.pi)
+        loss_and_grad = self._make_loss_fn(loss_metric, masks, d_out, mll_const, cv_weights)
+        raw = self._raw_dict()
+        trainable = {k: p.trainable for k, p in self.params.items()}
+        opt_state = rprop_init(raw, lr=lr)
+        best_loss = math.inf
+        save_loss = math.inf
+        best_raw = raw
+        waits = 0
+        i = 0
+        for i in range(iterations + 1):
+            (loss, (term1, term2)), grads = loss_and_grad(raw)
+            loss_f = float(loss)
+            if loss_f < best_loss:
+                best_loss = loss_f
+                best_raw = raw
+            if (save_loss - loss_f) > logtol:
+                waits = 0
+                save_loss = best_loss
+            else:
+                waits += 1
+            break_condition = (i == iterations) or (waits == stop_crit_wait_iterations)
+            metric_val = -loss_f if loss_metric == "MLL" else loss_f
+            if store_loss_hist:
+                hists["loss_hist"].append(metric_val)
+            if store_scale_hist:
+                hists["scale_hist"].append(np.asarray(self.params["scale"].from_raw(raw["scale"])))
+            if store_lengthscales_hist:
+                hists["lengthscales_hist"].append(np.asarray(self.params["lengthscales"].from_raw(raw["lengthscales"])))
+            if store_noise_hist:
+                hists["noise_hist"].append(np.asarray(self.params["noise"].from_raw(raw["noise"])))
+            if store_task_kernel_hist:
+                hists["task_kernel_hist"].append(np.asarray(self._task_gram(raw)))
+            if verbose and (i % verbose == 0 or break_condition):
+                t1 = float(term1) if np.size(term1) == 1 else math.nan
+                t2 = float(term2) if np.size(term2) == 1 else math.nan
+                print(" " * verbose_indent + "%16.2e | %-10.2e | %-10.2e | %-10.2e" % (i, loss_f, t1, t2))
+            if break_condition:
+                break
+            raw, opt_state = rprop_update(grads, opt_state, raw, trainable)
+        self._set_raw(best_raw)
+        data = {"iterations": i}
+        for k, v in hists.items():
+            data[k] = np.stack(v) if len(v) else np.asarray(v)
+        return data
+
+    def _warm_for_fit(self):
+        """Populate geometry/data caches eagerly so jit traces see constants."""
+
+    def _make_loss_fn(self, metric, masks, d_out, mll_const, cv_weights):
+        """Build value_and_grad of the chosen loss over raw parameters."""
+        self._warm_for_fit()
+
+        def loss_fn(raw):
+            solver = self._solver_pure(raw)
+            if metric == "MLL":
+                norm_term, logdet = solver.norm_logdet_terms()
+                if masks is None:
+                    term1 = norm_term.sum()
+                    term2 = d_out / np.prod(logdet.shape) * logdet.sum()
+                else:
+                    nt = norm_term[(Ellipsis, *masks, 0)]
+                    ld = jnp.broadcast_to(logdet, self.shape_batch + (1,))[(Ellipsis, *masks, 0)]
+                    term1 = nt.sum()
+                    term2 = ld.sum()
+                loss = 0.5 * (term1 + term2 + mll_const)
+            elif metric == "GCV":
+                numer, denom = solver.gcv_terms()
+                if masks is None:
+                    loss = (numer / denom).sum()
+                else:
+                    t1 = numer[(Ellipsis, *masks, slice(None))]
+                    t2 = jnp.broadcast_to(denom, self.shape_batch + (1,))[(Ellipsis, *masks, slice(None))]
+                    loss = (t1 / t2).sum()
+                term1 = numer.sum()
+                term2 = denom.sum()
+            else:  # CV
+                coeffs = solver.coeffs()
+                inv_diag = solver.inv_diag()
+                squared = ((coeffs / inv_diag) ** 2 * cv_weights).sum(-1, keepdims=True)
+                if masks is None:
+                    loss = squared.sum()
+                else:
+                    loss = squared[(Ellipsis, *masks, 0)].sum()
+                term1 = term2 = jnp.nan
+            return loss, (term1, term2)
+
+        return jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+
+    def _solver_pure(self, raw):
+        """Solver handle parameterized by explicit raw params (for autodiff)."""
+        raise NotImplementedError

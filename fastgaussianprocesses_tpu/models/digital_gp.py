@@ -1,0 +1,78 @@
+"""Fast Gaussian process regression with base-2 digital nets (Sobol') and
+digitally-shift-invariant (weighted-Walsh series) kernels.
+
+O(n log n) train/posterior via the orthonormal fast Walsh–Hadamard
+transform.  API parity target: fastgps.FastGPDigitalNetB2
+(fast_gp_digital_net_b2.py:7-301).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..kernels import series
+from ..ops import transforms as tr
+from ..points.digital_net import DigitalNetB2
+from .fast import AbstractFastGP
+
+
+class FastGPDigitalNetB2(AbstractFastGP):
+    """DSI-kernel GP on digitally-shifted Sobol' nets.
+
+    Args mirror fast_gp_digital_net_b2.py:117-160; see FastGPLattice.
+    """
+
+    def __init__(self, seqs, num_tasks=None, seed_for_seq=None, alpha=2,
+                 noise=1e-16, **kwargs):
+        nt = 1 if num_tasks is None else num_tasks
+        if isinstance(seqs, int):
+            seeds = np.random.SeedSequence(seed_for_seq).spawn(nt)
+            seqs = [DigitalNetB2(seqs, seed=s, randomize="DS") for s in seeds]
+        if isinstance(seqs, DigitalNetB2):
+            seqs = [seqs]
+        assert all(isinstance(s, DigitalNetB2) for s in seqs)
+        assert all(s.order == "NATURAL" for s in seqs)
+        if nt == 1:
+            assert seqs[0].randomize in ("FALSE", "DS", "LMS", "LMS_DS")
+        else:
+            # cross-task diagonalization needs a shared base net: only digital
+            # shifts may differ between tasks (fast_gp_digital_net_b2.py:219-221)
+            assert all(s.randomize in ("FALSE", "DS") for s in seqs)
+        ts = {s.t for s in seqs}
+        assert len(ts) == 1, "all sequences must share the same t"
+        self.t = seqs[0].t
+        assert self.t < 64
+        a = np.asarray(alpha)
+        assert ((1 <= a) & (a <= 4)).all(), "alpha must be in [1, 4]"
+        super().__init__(alpha, seqs, num_tasks=num_tasks, noise=noise, **kwargs)
+        if self._has_derivatives and any((dv > 0).any() for dv in self.derivatives):
+            assert (self.alpha >= 2).all(), "derivatives require alpha >= 2"
+
+    def _ftout_dtype(self):
+        return self.dtype
+
+    def _ft(self, x):
+        return tr.ft_stable_fwht(x)
+
+    _ift = _ft  # FWHT is self-inverse
+
+    def _sample(self, seq, n_min, n_max):
+        xb = seq(n_min, n_max, return_binary=True).astype(np.int64)
+        return xb * 2.0 ** -self.t, xb
+
+    def _convert_to_b(self, x):
+        """t-bit fixed-point form of float points (fast_gp_digital_net_b2.py:270)."""
+        return jnp.floor((x % 1.0) * (2 ** self.t)).astype(jnp.int64)
+
+    def _ominus(self, a, b):
+        a_int = jnp.issubdtype(a.dtype, jnp.integer)
+        b_int = jnp.issubdtype(b.dtype, jnp.integer)
+        ab = a if a_int else self._convert_to_b(a)
+        bb = b if b_int else self._convert_to_b(b)
+        return ab ^ bb
+
+    def _parts_from_delta(self, delta, beta, kappa):
+        return series.dsi_parts_from_delta(delta, self.t, self.alpha, beta, kappa,
+                                           dtype=self.dtype)
+
+    def get_omega(self, m):
+        return 1.0

@@ -1,0 +1,310 @@
+"""Fast GP engine shared by the lattice (FFT) and digital-net (FWHT) models.
+
+Everything on the training side runs in frequency ("tilde") space in
+O(n log n): eigenvalues are transforms of first Gram columns, multitask
+coupling is the residue-block system of linalg/fast_solver, and posterior
+cubature reads the zero-frequency block.  Mirrors the reference
+AbstractFastGP + _FastInverseLogDetCache (abstract_fast_gp.py, util.py:269-425)
+re-architected as pure batched JAX.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels import series
+from ..linalg import fast_solver as fs
+from .abstract import AbstractGP, _as_task_array
+
+
+class _FastSolver:
+    """Frequency-space solver handle for one (params, n-vector) instance."""
+
+    def __init__(self, model, raw, n):
+        self.model = model
+        self.n = np.asarray(n, dtype=np.int64)
+        assert (self.n > 0).all(), "all tasks need data (or a future-n) for fast solves"
+        self.task_order, self.inv_task_order = fs.sort_tasks(self.n)
+        self.n_sorted = tuple(int(self.n[o]) for o in self.task_order)
+        params = model._transformed(raw)
+        kmat_tasks = model._task_gram(raw)
+        scale, ls = params["scale"], params["lengthscales"]
+        noise = params["noise"]
+        T = model.num_tasks
+        lam_pairs = {}
+        for l0 in range(T):
+            to0 = self.task_order[l0]
+            for l1 in range(l0, T):
+                to1 = self.task_order[l1]
+                nlen = self.n_sorted[l0]
+                if to0 <= to1:
+                    k1p = model._get_k1parts(to0, to1, nlen)
+                    k1 = series.kernel_from_parts(
+                        k1p, model.derivatives[to0], model.derivatives[to1],
+                        model.derivatives_coeffs[to0], model.derivatives_coeffs[to1],
+                        scale, ls)
+                    lam = model._ft(k1)
+                else:
+                    k1p = model._get_k1parts(to1, to0, nlen)
+                    k1 = series.kernel_from_parts(
+                        k1p, model.derivatives[to1], model.derivatives[to0],
+                        model.derivatives_coeffs[to1], model.derivatives_coeffs[to0],
+                        scale, ls)
+                    lam = jnp.conj(model._ft(k1))
+                lam_pairs[(l0, l1)] = lam
+        lams = fs.effective_lams(lam_pairs, self.n_sorted, kmat_tasks, noise,
+                                 self.task_order, self.inv_task_order,
+                                 model.adaptive_nugget)
+        self.factor = fs.factorize(lams, self.n_sorted, self.task_order, self.inv_task_order)
+        self.kmat_tasks = kmat_tasks
+        self.scale = scale
+
+    # -- solving ---------------------------------------------------------
+    def _split(self, ycat):
+        sizes = self.n.tolist()
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        return [ycat[..., offs[l]:offs[l + 1]] for l in range(len(sizes))]
+
+    def gram_matrix_solve(self, ycat, extra_ndim=0):
+        """Real-space solve K^-1 y along the last axis (util.py:338-353)."""
+        ys = self._split(ycat)
+        yst = [self.model._ft(y) for y in ys]
+        zst = fs.solve_tilde(self.factor, yst, extra_ndim=extra_ndim)
+        zs = [jnp.real(self.model._ift(z)) for z in zst]
+        return jnp.concatenate(zs, -1)
+
+    def _ytildes(self):
+        return [self.model._get_ytilde(l, int(self.n[l])) for l in range(self.model.num_tasks)]
+
+    def norm_logdet_terms(self):
+        """MLL quadratic and log-det terms in tilde space (util.py:364-370)."""
+        yt = self._ytildes()
+        zt = fs.solve_tilde(self.factor, yt)
+        ytc = jnp.concatenate(yt, -1)
+        ztc = jnp.concatenate(zt, -1)
+        norm = jnp.real(jnp.conj(ytc) * ztc).sum(-1, keepdims=True)
+        return norm, self.factor.logdet[..., None]
+
+    def gcv_terms(self):
+        """Generalized-CV numerator/denominator (util.py:371-380)."""
+        yt = self._ytildes()
+        zt = fs.solve_tilde(self.factor, yt)
+        ztc = jnp.concatenate(zt, -1)
+        numer = jnp.real(jnp.conj(ztc) * ztc).sum(-1, keepdims=True)
+        tr = fs.trace_inverse(self.factor)
+        denom = ((tr / float(self.n.sum())) ** 2)[..., None]
+        return numer, denom
+
+    def coeffs(self):
+        yt = self._ytildes()
+        zt = fs.solve_tilde(self.factor, yt)
+        zs = [jnp.real(self.model._ift(z)) for z in zt]
+        return jnp.concatenate(zs, -1)
+
+    def inv_diag(self):
+        """Diagonal of K^-1 in point space, per-task constant expanded."""
+        per_task = fs.inv_diag_pointspace(self.factor)
+        cols = [jnp.broadcast_to(v[..., None], v.shape + (int(self.n[l]),))
+                for l, v in enumerate(per_task)]
+        batch = jnp.broadcast_shapes(*[c.shape[:-1] for c in cols])
+        cols = [jnp.broadcast_to(c, batch + c.shape[-1:]) for c in cols]
+        return jnp.concatenate(cols, -1)
+
+    def dc_block(self):
+        return fs.dc_block(self.factor)
+
+
+class AbstractFastGP(AbstractGP):
+    """Shared machinery for FastGPLattice / FastGPDigitalNetB2."""
+
+    def __init__(self, alpha, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        if np.isscalar(alpha):
+            alpha = int(alpha) * np.ones(self.d, dtype=np.int64)
+        self.alpha = np.asarray(alpha, dtype=np.int64)
+        assert self.alpha.shape == (self.d,)
+        self._k1parts_cache = {}   # (l0, l1) -> device array (n, p0, p1, d)
+        self._ytilde_cache = {}    # (task, n) -> device array
+        self._solver_cache = {}    # (version, n-tuple) -> _FastSolver
+
+    # -- concrete-model hooks -------------------------------------------
+    def _ft(self, x):
+        raise NotImplementedError
+
+    def _ift(self, x):
+        raise NotImplementedError
+
+    def _ominus(self, a, b):
+        raise NotImplementedError
+
+    def _parts_from_delta(self, delta, beta, kappa):
+        raise NotImplementedError
+
+    # -- caches ----------------------------------------------------------
+    def _get_k1parts(self, l0, l1, n):
+        """Hyperparameter-independent first-column series terms (util.py:40-62)."""
+        assert l0 <= l1
+        key = (l0, l1)
+        cur = self._k1parts_cache.get(key)
+        have = 0 if cur is None else cur.shape[0]
+        if n > have:
+            xb0 = self._get_xxb(l0, n)[1][have:n]
+            xb1 = self._get_xxb(l1, 1)[1][:1]
+            new = series.kernel_parts(
+                self._parts_from_delta,
+                self._to_device_xb(xb0), self._to_device_xb(xb1),
+                self._ominus, self.derivatives[l0], self.derivatives[l1])
+            cur = new if cur is None else jnp.concatenate([cur, new], 0)
+            self._k1parts_cache[key] = cur
+        return cur[:n]
+
+    def _to_device_xb(self, xb):
+        if np.issubdtype(np.asarray(xb).dtype, np.floating):
+            return jnp.asarray(xb, dtype=self.dtype)
+        return jnp.asarray(xb)
+
+    def _get_ytilde(self, task, n):
+        """Transformed observations (reference _YtildeCache, util.py:164-183)."""
+        key = (task, n)
+        if key not in self._ytilde_cache:
+            y = self._y[task]
+            assert y.shape[-1] == n
+            self._ytilde_cache[key] = self._ft(y) if n > 1 else y.astype(self._ftout_dtype())
+        return self._ytilde_cache[key]
+
+    def _ftout_dtype(self):
+        raise NotImplementedError
+
+    def _on_data_change(self):
+        self._ytilde_cache.clear()
+        self._solver_cache.clear()
+
+    # -- solver ----------------------------------------------------------
+    def _solver(self, n=None):
+        n = self._norm_n(n) if n is not None else self.n.copy()
+        assert _all_pow2(n), "fast GPs require power-of-two sample counts"
+        key = (self._version, tuple(int(v) for v in n))
+        if key not in self._solver_cache:
+            # warm the k1parts caches outside any trace
+            self._warm_k1parts(n)
+            self._solver_cache[key] = _FastSolver(self, self._raw_dict(), n)
+            if len(self._solver_cache) > 8:
+                self._solver_cache.pop(next(iter(self._solver_cache)))
+        return self._solver_cache[key]
+
+    def _warm_k1parts(self, n):
+        task_order, _ = fs.sort_tasks(n)
+        T = self.num_tasks
+        for l0 in range(T):
+            for l1 in range(l0, T):
+                to0, to1 = task_order[l0], task_order[l1]
+                nlen = int(n[task_order[l0]])
+                self._get_k1parts(min(to0, to1), max(to0, to1), nlen)
+
+    def _warm_for_fit(self):
+        self._warm_k1parts(self.n)
+        for l in range(self.num_tasks):
+            self._get_ytilde(l, int(self.n[l]))
+
+    def _solver_pure(self, raw):
+        return _FastSolver(self, raw, self.n)
+
+    # -- data ingestion guards (abstract_fast_gp.py:32-40) ---------------
+    def get_x_next(self, n, task=None):
+        n_arr = np.asarray([n] if isinstance(n, (int, np.integer)) else n, dtype=np.int64)
+        assert _all_pow2(n_arr), "sample sizes must be powers of 2"
+        return super().get_x_next(n, task=task)
+
+    def add_y_next(self, y_next, task=None):
+        super().add_y_next(y_next, task=task)
+        assert _all_pow2(self.n), "total samples must be powers of 2"
+
+    def _norm_n(self, n):
+        n = super()._norm_n(n)
+        assert _all_pow2(n), "n must be powers of 2 >= current sample counts"
+        return n
+
+    # -- kernel evaluation ----------------------------------------------
+    def _kernel_explicit(self, x0, x1, beta0, beta1, c0, c1, scale, lengthscales):
+        parts = series.kernel_parts(self._parts_from_delta, x0, x1, self._ominus, beta0, beta1)
+        return series.kernel_from_parts(parts, beta0, beta1, c0, c1, scale, lengthscales)
+
+    # -- fast cubature (abstract_fast_gp.py:65-154) ----------------------
+    def post_cubature_mean(self, task=None):
+        """Closed-form posterior mean of the integral over [0,1]^d.
+
+        SI/DSI kernels integrate to ``scale``, so only the DC component of
+        the coefficients survives (abstract_fast_gp.py:65-81).
+        """
+        kmat_tasks = self.gram_matrix_tasks
+        coeffs = self.coeffs
+        if task is None:
+            task = self.default_task
+        task, inttask = _as_task_array(task, self.num_tasks)
+        offs = np.concatenate([[0], np.cumsum(self.n)])
+        pieces = []
+        for l in range(self.num_tasks):
+            cl = (self.scale * coeffs[..., offs[l]:offs[l + 1]])[..., None, :]
+            pieces.append(cl * kmat_tasks[..., task, l, None])
+        pcmean = jnp.concatenate(pieces, -1).sum(-1)
+        return pcmean[..., 0] if inttask else pcmean
+
+    def _cubature_quad_term(self, solver, taskL, taskR):
+        """(..., TL, TR) quadratic correction from the DC inverse block."""
+        kmat_tasks = self.gram_matrix_tasks
+        inv_cut = solver.dc_block()  # (..., T, T) sorted order
+        to = list(solver.task_order)
+        nord = np.asarray(solver.n_sorted, dtype=np.float64)
+        nsqrts = jnp.asarray(np.sqrt(nord[:, None] * nord[None, :]), dtype=jnp.abs(inv_cut).dtype)
+        cdt = inv_cut.dtype
+        kl = kmat_tasks[..., taskL, :][..., :, to].astype(cdt)
+        kr = kmat_tasks[..., to, :][..., :, taskR].astype(cdt)
+        return jnp.real(jnp.einsum("...ij,...jk,...kl->...il", kl, nsqrts * inv_cut, kr))
+
+    def post_cubature_var(self, task=None, n=None):
+        """Posterior cubature variance (abstract_fast_gp.py:82-109)."""
+        n = self._norm_n(n)
+        solver = self._solver(n)
+        kmat_tasks = self.gram_matrix_tasks
+        if task is None:
+            task = self.default_task
+        task, inttask = _as_task_array(task, self.num_tasks)
+        term = self._cubature_quad_term(solver, task, task)
+        term = jnp.diagonal(term, axis1=-2, axis2=-1)
+        pcvar = self.scale * kmat_tasks[..., task, task] - self.scale ** 2 * term
+        pcvar = jnp.maximum(pcvar, 0.0)
+        return pcvar[..., 0] if inttask else pcvar
+
+    def post_cubature_cov(self, task0=None, task1=None, n=None):
+        """Posterior cubature covariance (abstract_fast_gp.py:110-154)."""
+        n = self._norm_n(n)
+        solver = self._solver(n)
+        kmat_tasks = self.gram_matrix_tasks
+        if task0 is None:
+            task0 = self.default_task
+        if task1 is None:
+            task1 = self.default_task
+        task0, inttask0 = _as_task_array(task0, self.num_tasks)
+        task1, inttask1 = _as_task_array(task1, self.num_tasks)
+        equal = np.array_equal(task0, task1)
+        term = self._cubature_quad_term(solver, task0, task1)
+        prior = kmat_tasks[..., task0, :][..., :, task1]
+        pccov = self.scale[..., None] * prior - self.scale[..., None] ** 2 * term
+        if equal:
+            tvec = np.arange(pccov.shape[-1])
+            diag = jnp.maximum(pccov[..., tvec, tvec], 0.0)
+            pccov = pccov.at[..., tvec, tvec].set(diag)
+        if inttask0 and inttask1:
+            return pccov[..., 0, 0]
+        if inttask0:
+            return pccov[..., 0, :]
+        if inttask1:
+            return pccov[..., :, 0]
+        return pccov
+
+
+def _all_pow2(n):
+    n = np.asarray(n)
+    return bool(np.logical_or(n == 0, (n & (n - 1)) == 0).all())

@@ -1,0 +1,63 @@
+"""Fast Gaussian process regression with rank-1 lattice points and
+shift-invariant (Bernoulli-polynomial series) kernels.
+
+O(n log n) train/posterior via the orthonormal bit-reversed FFT.
+API parity target: fastgps.FastGPLattice (fast_gp_lattice.py:7-273).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..kernels import series
+from ..ops import transforms as tr
+from ..ops.bernoulli import MAX_ORDER
+from ..points.lattice import LatticeSeq
+from .fast import AbstractFastGP
+
+
+class FastGPLattice(AbstractFastGP):
+    """Shift-invariant-kernel GP on randomly-shifted rank-1 lattices.
+
+    Args (mirroring fast_gp_lattice.py:125-158):
+        seqs: a LatticeSeq, list of LatticeSeq (one per task), or an int
+            dimension (sequences are then created with per-task seeds
+            spawned from ``seed_for_seq``).
+        num_tasks, seed_for_seq, alpha, scale, lengthscales, noise,
+        factor_task_kernel, rank_factor_task_kernel, noise_task_kernel,
+        tfs_*, requires_grad_*, shape_*, derivatives, derivatives_coeffs,
+        adaptive_nugget: see AbstractGP.
+        dtype: compute dtype (float64 default on CPU, float32 on TPU).
+    """
+
+    def __init__(self, seqs, num_tasks=None, seed_for_seq=None, alpha=2,
+                 noise=1e-8, **kwargs):
+        nt = 1 if num_tasks is None else num_tasks
+        if isinstance(seqs, int):
+            seeds = np.random.SeedSequence(seed_for_seq).spawn(nt)
+            seqs = [LatticeSeq(seqs, seed=s, randomize="SHIFT") for s in seeds]
+        if isinstance(seqs, LatticeSeq):
+            seqs = [seqs]
+        assert all(isinstance(s, LatticeSeq) for s in seqs)
+        assert all(s.order == "NATURAL" for s in seqs)
+        assert all(s.randomize in ("FALSE", "SHIFT") for s in seqs)
+        a = np.asarray(alpha)
+        assert ((1 <= a) & (2 * a <= MAX_ORDER)).all(), "alpha must be in [1, 4]"
+        super().__init__(alpha, seqs, num_tasks=num_tasks, noise=noise, **kwargs)
+
+    def _ftout_dtype(self):
+        return jnp.complex128 if self.dtype == jnp.float64 else jnp.complex64
+
+    def _ft(self, x):
+        return tr.ft_stable_lattice(x)
+
+    def _ift(self, x):
+        return tr.ift_stable_lattice(x)
+
+    def _ominus(self, a, b):
+        return series.lattice_ominus(a, b)
+
+    def _parts_from_delta(self, delta, beta, kappa):
+        return series.si_parts_from_delta(delta, self.alpha, beta, kappa)
+
+    def get_omega(self, m):
+        return tr.get_omega_lattice(m, dtype=self._ftout_dtype())

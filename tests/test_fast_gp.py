@@ -1,0 +1,180 @@
+"""End-to-end fast GP models vs dense oracles (single- and multi-task)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fastgaussianprocesses_tpu import FastGPDigitalNetB2, FastGPLattice, LatticeSeq, DigitalNetB2
+from util_oracle import dense_gram
+
+
+def f_ackley(x, a=20, b=0.2, c=2 * np.pi, scaling=32.768):
+    x = np.asarray(x)
+    x = 2 * scaling * x - scaling
+    t1 = a * np.exp(-b * np.sqrt(np.mean(x**2, -1)))
+    t2 = np.exp(np.mean(np.cos(c * x), -1))
+    return -(t1 + t2) + a + np.e
+
+
+def _make(model_cls, n, d=2, num_tasks=None, seed=7, **kw):
+    fgp = model_cls(d, num_tasks=num_tasks, seed_for_seq=seed, **kw)
+    nt = fgp.num_tasks
+    if num_tasks is None:
+        x = fgp.get_x_next(n)
+        fgp.add_y_next(jnp.asarray(f_ackley(x)))
+    else:
+        ns = n if isinstance(n, (list, tuple)) else [n] * nt
+        xs = fgp.get_x_next(ns, task=list(range(nt)))
+        fgp.add_y_next([jnp.asarray(f_ackley(xi)) for xi in xs], task=list(range(nt)))
+    return fgp
+
+
+@pytest.mark.parametrize("model_cls", [FastGPLattice, FastGPDigitalNetB2])
+def test_single_task_interpolation_and_accuracy(model_cls):
+    fgp = _make(model_cls, 2**10)
+    rng = np.random.default_rng(17)
+    x = rng.uniform(size=(2**7, 2))
+    y = f_ackley(x)
+    pmean = np.asarray(fgp.post_mean(x))
+    assert pmean.shape == (2**7,)
+    rel = np.linalg.norm(y - pmean) / np.linalg.norm(y)
+    assert rel < 0.12, rel
+    # interpolation at training points
+    pm_train = np.asarray(fgp.post_mean(fgp.x))
+    np.testing.assert_allclose(pm_train, np.asarray(fgp.y), atol=1e-3)
+
+
+@pytest.mark.parametrize("model_cls", [FastGPLattice, FastGPDigitalNetB2])
+def test_single_task_solve_matches_dense(model_cls):
+    fgp = _make(model_cls, 2**6, d=3, noise=1e-4)
+    K = dense_gram(fgp)
+    y = np.asarray(fgp.y)
+    want = np.linalg.solve(K, y)
+    got = np.asarray(fgp.coeffs)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # logdet
+    solver = fgp._solver()
+    _, logdet = np.linalg.slogdet(K)
+    np.testing.assert_allclose(float(solver.factor.logdet), logdet, rtol=1e-8)
+
+
+@pytest.mark.parametrize("model_cls", [FastGPLattice, FastGPDigitalNetB2])
+def test_post_var_cov_match_dense(model_cls):
+    fgp = _make(model_cls, 2**6, d=2, noise=1e-4)
+    rng = np.random.default_rng(3)
+    x = rng.uniform(size=(9, 2))
+    z = rng.uniform(size=(7, 2))
+    K = dense_gram(fgp)
+    kx = np.asarray(fgp.kernel(jnp.asarray(x)[:, None, :], fgp.get_xb(0)[None, :, :]))
+    kz = np.asarray(fgp.kernel(jnp.asarray(z)[:, None, :], fgp.get_xb(0)[None, :, :]))
+    kxx = np.asarray(fgp.kernel(jnp.asarray(x), jnp.asarray(x)))
+    kxz = np.asarray(fgp.kernel(jnp.asarray(x)[:, None, :], jnp.asarray(z)[None, :, :]))
+    want_var = kxx - np.einsum("ni,ij,mj->nm", kx, np.linalg.inv(K), kx).diagonal()
+    got_var = np.asarray(fgp.post_var(x))
+    np.testing.assert_allclose(got_var, want_var, atol=1e-6)
+    want_cov = kxz - kx @ np.linalg.inv(K) @ kz.T
+    got_cov = np.asarray(fgp.post_cov(x, z))
+    np.testing.assert_allclose(got_cov, want_cov, atol=1e-6)
+    # pcov diagonal equals pvar
+    pcov_xx = np.asarray(fgp.post_cov(x, x))
+    np.testing.assert_allclose(pcov_xx.diagonal(), got_var, atol=1e-8)
+
+
+@pytest.mark.parametrize("model_cls", [FastGPLattice, FastGPDigitalNetB2])
+def test_cubature_matches_dense(model_cls):
+    fgp = _make(model_cls, 2**6, d=2, noise=1e-4)
+    K = dense_gram(fgp)
+    y = np.asarray(fgp.y)
+    scale = float(np.asarray(fgp.scale)[0])
+    kint = scale * np.ones(len(y))  # SI/DSI kernels integrate to `scale`
+    want_mean = kint @ np.linalg.solve(K, y)
+    got_mean = float(fgp.post_cubature_mean())
+    np.testing.assert_allclose(got_mean, want_mean, rtol=1e-8)
+    want_var = scale - kint @ np.linalg.solve(K, kint)
+    got_var = float(fgp.post_cubature_var())
+    np.testing.assert_allclose(got_var, want_var, rtol=1e-5, atol=1e-12)
+
+
+@pytest.mark.parametrize("model_cls", [FastGPLattice, FastGPDigitalNetB2])
+def test_fit_improves_mll(model_cls):
+    fgp = _make(model_cls, 2**8)
+    data = fgp.fit(iterations=20, verbose=0, store_loss_hist=True)
+    lh = data["loss_hist"]
+    assert lh[-1] >= lh[0]  # stored as -loss for MLL (higher is better)
+    rng = np.random.default_rng(5)
+    x = rng.uniform(size=(64, 2))
+    y = f_ackley(x)
+    rel = np.linalg.norm(y - np.asarray(fgp.post_mean(x))) / np.linalg.norm(y)
+    assert rel < 0.2
+
+
+@pytest.mark.parametrize("model_cls", [FastGPLattice, FastGPDigitalNetB2])
+def test_future_n_projections(model_cls):
+    """Posterior var/cov/cubature-var at future n match post-ingestion values
+    exactly (reference doctest anchors fast_gp_lattice.py:95-97,119-121)."""
+    n = 2**6
+    fgp = _make(model_cls, n, d=2)
+    rng = np.random.default_rng(11)
+    x = rng.uniform(size=(8, 2))
+    z = rng.uniform(size=(6, 2))
+    pvar_f = np.asarray(fgp.post_var(x, n=2 * n))
+    pcov_f = np.asarray(fgp.post_cov(x, z, n=2 * n))
+    pcvar_f = float(fgp.post_cubature_var(n=2 * n))
+    x_next = fgp.get_x_next(2 * n)
+    fgp.add_y_next(jnp.asarray(f_ackley(x_next)))
+    np.testing.assert_allclose(np.asarray(fgp.post_var(x)), pvar_f, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fgp.post_cov(x, z)), pcov_f, atol=1e-10)
+    np.testing.assert_allclose(float(fgp.post_cubature_var()), pcvar_f, rtol=1e-8)
+
+
+@pytest.mark.parametrize("model_cls", [FastGPLattice, FastGPDigitalNetB2])
+@pytest.mark.parametrize("ns", [[16, 16], [64, 16], [64, 16, 4]])
+def test_multitask_matches_dense(model_cls, ns):
+    T = len(ns)
+    fgp = _make(model_cls, ns, d=2, num_tasks=T, noise=1e-4)
+    K = dense_gram(fgp)
+    y = np.concatenate([np.asarray(fgp._y[l]) for l in range(T)])
+    want = np.linalg.solve(K, y)
+    got = np.asarray(fgp.coeffs)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    solver = fgp._solver()
+    _, logdet = np.linalg.slogdet(K)
+    np.testing.assert_allclose(float(solver.factor.logdet), logdet, rtol=1e-8)
+    # posterior mean against dense
+    rng = np.random.default_rng(23)
+    x = rng.uniform(size=(5, 2))
+    S = np.asarray(fgp.gram_matrix_tasks)
+    kx = np.concatenate([S[0, l] * np.asarray(
+        fgp.kernel(jnp.asarray(x)[:, None, :], fgp.get_xb(l)[None, :, :]))
+        for l in range(T)], axis=-1)
+    want_pm = kx @ want
+    got_pm = np.asarray(fgp.post_mean(x, task=0))
+    np.testing.assert_allclose(got_pm, want_pm, atol=1e-8)
+    # posterior variance against dense
+    kxx = S[0, 0] * np.asarray(fgp.kernel(jnp.asarray(x), jnp.asarray(x)))
+    want_pv = kxx - np.einsum("ni,ij,nj->n", kx, np.linalg.inv(K), kx)
+    got_pv = np.asarray(fgp.post_var(x, task=0))
+    np.testing.assert_allclose(got_pv, np.maximum(want_pv, 0), atol=1e-8)
+
+
+@pytest.mark.parametrize("model_cls", [FastGPLattice, FastGPDigitalNetB2])
+def test_multitask_cubature_matches_dense(model_cls):
+    ns = [32, 8]
+    fgp = _make(model_cls, ns, d=2, num_tasks=2, noise=1e-4)
+    K = dense_gram(fgp)
+    S = np.asarray(fgp.gram_matrix_tasks)
+    scale = float(np.asarray(fgp.scale)[0])
+    kint = np.concatenate([S[0, l] * scale * np.ones(ns[l]) for l in range(2)])
+    want_var0 = scale * S[0, 0] - kint @ np.linalg.solve(K, kint)
+    got = np.asarray(fgp.post_cubature_var(task=[0, 1]))
+    np.testing.assert_allclose(got[0], max(want_var0, 0.0), rtol=1e-6, atol=1e-12)
+    # cov between tasks
+    kint1 = np.concatenate([S[1, l] * scale * np.ones(ns[l]) for l in range(2)])
+    want_cov = scale * S[0, 1] - kint @ np.linalg.solve(K, kint1)
+    got_cov = np.asarray(fgp.post_cubature_cov(task0=[0], task1=[1]))
+    np.testing.assert_allclose(got_cov[0, 0], want_cov, rtol=1e-6, atol=1e-12)
+    # mean
+    y = np.concatenate([np.asarray(fgp._y[l]) for l in range(2)])
+    want_mean = kint @ np.linalg.solve(K, y)
+    np.testing.assert_allclose(float(fgp.post_cubature_mean(task=0)), want_mean, rtol=1e-8)
