@@ -1,0 +1,235 @@
+"""Hamiltonian Monte Carlo hyperposterior sampling over GP hyperparameters.
+
+The reference only point-estimates hyperparameters (fit loop,
+abstract_gp.py:152-306); this module adds a full hyperposterior engine —
+the BASELINE.json north-star capability:
+
+* vectorized chains via ``vmap`` over the raw-parameter pytree;
+* windowed warmup with dual-averaging step-size adaptation and diagonal
+  mass-matrix estimation, using CROSS-CHAIN statistics (cheap, robust);
+* jittered leapfrog trajectory lengths (partial NUTS substitute that avoids
+  data-dependent control flow, keeping the whole sampler one fused XLA
+  program — TPU-friendly);
+* chains shard over a device mesh axis simply by placing the stacked chain
+  pytree with a NamedSharding: the cross-chain reductions become XLA
+  collectives automatically under GSPMD (see parallel/mesh.py helpers).
+
+Diagnostics: split-R-hat and bulk effective sample size.
+"""
+
+import math
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class HMCResult(NamedTuple):
+    samples: dict           # each leaf: (num_samples, chains, *param_shape)
+    log_prob: jnp.ndarray   # (num_samples, chains)
+    accept_rate: jnp.ndarray
+    step_size: jnp.ndarray
+    mass_diag: dict
+
+
+def _flatten(tree):
+    leaves, treedef = jax.tree.flatten(tree)
+    shapes = [l.shape for l in leaves]
+    sizes = [int(np.prod(s)) for s in shapes]
+    flat = jnp.concatenate([l.reshape(-1) for l in leaves]) if leaves else jnp.zeros(0)
+    return flat, (treedef, shapes, sizes)
+
+
+def _unflatten(flat, spec):
+    treedef, shapes, sizes = spec
+    leaves = []
+    off = 0
+    for shape, size in zip(shapes, sizes):
+        leaves.append(flat[off:off + size].reshape(shape))
+        off += size
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def hmc(logprob_fn: Callable, init_params, key,
+        num_samples: int = 500, num_warmup: int = 500, num_chains: int = 8,
+        num_leapfrog: int = 16, target_accept: float = 0.8,
+        init_jitter: float = 0.5, chain_sharding=None) -> HMCResult:
+    """Sample ``logprob_fn`` (pytree -> scalar) starting near ``init_params``.
+
+    Returns samples stacked as (num_samples, chains, ...).  When
+    ``chain_sharding`` (a NamedSharding over a 'chains'-like axis) is given,
+    the chain-stacked state is placed on it so the sampler runs SPMD across
+    devices.
+    """
+    flat0, spec = _flatten(init_params)
+    dim = flat0.shape[0]
+    dtype = flat0.dtype
+
+    def logprob_flat(q):
+        return logprob_fn(_unflatten(q, spec))
+
+    val_and_grad = jax.value_and_grad(logprob_flat)
+
+    k_init, k_run = jax.random.split(jax.random.PRNGKey(key) if np.isscalar(key) else key)
+    q0 = flat0[None, :] + init_jitter * jax.random.normal(
+        k_init, (num_chains, dim), dtype=dtype)
+    if chain_sharding is not None:
+        q0 = jax.device_put(q0, chain_sharding)
+
+    v_and_g = jax.vmap(val_and_grad)
+
+    def leapfrog(q, p, eps, inv_mass, n_steps):
+        def body(_, carry):
+            q, p = carry
+            _, g = v_and_g(q)
+            p = p + 0.5 * eps * g
+            q = q + eps * (inv_mass * p)
+            _, g = v_and_g(q)
+            p = p + 0.5 * eps * g
+            return q, p
+        return jax.lax.fori_loop(0, n_steps, body, (q, p))
+
+    def kinetic(p, inv_mass):
+        return 0.5 * ((p * p) * inv_mass).sum(-1)
+
+    def step(carry, inputs):
+        q, log_eps, h_bar, log_eps_bar, mass_mean, mass_sq, count, adapting = carry
+        k, t = inputs
+        kp, kl, ku = jax.random.split(k, 3)
+        inv_mass = jnp.maximum(mass_sq / jnp.maximum(count, 1.0) - (mass_mean / jnp.maximum(count, 1.0)) ** 2, 1e-6)
+        inv_mass = jnp.where(count > 10.0, inv_mass, jnp.ones_like(inv_mass))
+        eps = jnp.exp(log_eps)
+        p = jax.random.normal(kp, q.shape, dtype=dtype) / jnp.sqrt(inv_mass)
+        # jittered trajectory length decorrelates without NUTS's dynamic loops
+        n_steps = 1 + jax.random.randint(kl, (), num_leapfrog // 2, num_leapfrog + 1)
+        lp0, _ = v_and_g(q)
+        h0 = lp0 - kinetic(p, inv_mass)
+        q_new, p_new = leapfrog(q, p, eps, inv_mass, n_steps)
+        lp1, _ = v_and_g(q_new)
+        h1 = lp1 - kinetic(p_new, inv_mass)
+        log_alpha = jnp.minimum(h1 - h0, 0.0)
+        log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
+        accept = jnp.log(jax.random.uniform(ku, (num_chains,))) < log_alpha
+        q = jnp.where(accept[:, None], q_new, q)
+        lp = jnp.where(accept, lp1, lp0)
+        # dual averaging on the cross-chain mean acceptance (psum under SPMD)
+        alpha_mean = jnp.exp(log_alpha).mean()
+        mu = math.log(10.0) + jnp.log(jnp.exp(log_eps_bar))
+        tw = t + 1.0
+        h_bar = jnp.where(adapting,
+                          (1 - 1 / (tw + 10.0)) * h_bar + (target_accept - alpha_mean) / (tw + 10.0),
+                          h_bar)
+        log_eps_prop = mu - jnp.sqrt(tw) / 0.05 * h_bar
+        w = tw ** -0.75
+        log_eps_bar = jnp.where(adapting, w * log_eps_prop + (1 - w) * log_eps_bar, log_eps_bar)
+        log_eps = jnp.where(adapting, log_eps_prop, log_eps_bar)
+        # mass-matrix running moments across chains and time (warmup only)
+        mass_mean = jnp.where(adapting, mass_mean + q.mean(0), mass_mean)
+        mass_sq = jnp.where(adapting, mass_sq + (q * q).mean(0), mass_sq)
+        count = jnp.where(adapting, count + 1.0, count)
+        new_carry = (q, log_eps, h_bar, log_eps_bar, mass_mean, mass_sq, count, adapting)
+        return new_carry, (q, lp, accept.mean())
+
+    total = num_warmup + num_samples
+    keys = jax.random.split(k_run, total)
+    ts = jnp.arange(total, dtype=dtype)
+    adapt_flags = ts < num_warmup
+
+    def scan_step(carry, inputs):
+        k, t, adapting = inputs
+        carry = carry[:-1] + (adapting,)
+        return step(carry, (k, t))
+
+    init_carry = (q0, jnp.asarray(math.log(0.1), dtype=dtype), jnp.asarray(0.0, dtype=dtype),
+                  jnp.asarray(math.log(0.1), dtype=dtype), jnp.zeros(dim, dtype=dtype),
+                  jnp.zeros(dim, dtype=dtype), jnp.asarray(0.0, dtype=dtype),
+                  jnp.asarray(True))
+
+    run = jax.jit(lambda c, xs: jax.lax.scan(scan_step, c, xs))
+    final_carry, (qs, lps, acc) = run(init_carry, (keys, ts, adapt_flags))
+    qs = qs[num_warmup:]
+    lps = lps[num_warmup:]
+    acc = acc[num_warmup:]
+    inv_mass_final = final_carry[4]
+
+    samples = jax.vmap(jax.vmap(lambda q: _unflatten(q, spec)))(qs)
+    mass = _unflatten(inv_mass_final, spec)
+    return HMCResult(samples=samples, log_prob=lps, accept_rate=acc.mean(),
+                     step_size=jnp.exp(final_carry[3]), mass_diag=mass)
+
+
+# ---------------------------------------------------------------------------
+# diagnostics
+# ---------------------------------------------------------------------------
+
+def split_rhat(x):
+    """Split-R-hat for draws shaped (num_samples, chains)."""
+    x = np.asarray(x)
+    n, m = x.shape
+    half = n // 2
+    splits = np.concatenate([x[:half], x[half:2 * half]], axis=1)  # (half, 2m)
+    w = splits.var(0, ddof=1).mean()
+    b = half * splits.mean(0).var(ddof=1)
+    var_plus = (half - 1) / half * w + b / half
+    return float(np.sqrt(var_plus / w))
+
+
+def effective_sample_size(x):
+    """Bulk ESS for draws shaped (num_samples, chains) via FFT autocovariance."""
+    x = np.asarray(x)
+    n, m = x.shape
+    x = x - x.mean(0)
+    nfft = 1 << int(np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(x, nfft, axis=0)
+    acov = np.fft.irfft(f * np.conj(f), nfft, axis=0)[:n].real / n
+    rho = (acov / acov[0]).mean(1)
+    # Geyer initial positive sequence
+    ess = n * m
+    s = 0.0
+    t = 1
+    while t + 1 < n:
+        pair = rho[t] + rho[t + 1]
+        if pair < 0:
+            break
+        s += pair
+        t += 2
+    return float(n * m / (1.0 + 2.0 * s))
+
+
+def sample_gp_hyperposterior(model, num_samples=500, num_warmup=500,
+                             num_chains=8, seed=0, prior_std=3.0,
+                             include=("scale", "lengthscales"),
+                             chain_sharding=None):
+    """Sample the hyperposterior of a GP model's raw hyperparameters.
+
+    log p(theta | y) = -MLL_loss(theta) + log N(raw; raw_init, prior_std^2).
+
+    Returns HMCResult plus per-parameter split-R-hat / ESS diagnostics in a
+    dict.  Works for any model exposing the solver protocol (fast or dense).
+    """
+    model._warm_for_fit()
+    data = model._fit_data()
+    d_out = int(np.prod(model.shape_batch)) if model.shape_batch else 1
+    mll_const = d_out * float(model.n.sum()) * math.log(2 * math.pi)
+    raw_full = model._raw_dict()
+    sampled0 = {k: raw_full[k] for k in include}
+
+    def logprob(sampled):
+        raw = dict(raw_full)
+        raw.update(sampled)
+        solver = model._solver_pure(raw, data)
+        norm, logdet = solver.norm_logdet_terms()
+        term2 = d_out / np.prod(logdet.shape) * logdet.sum()
+        nll = 0.5 * (norm.sum() + term2 + mll_const)
+        prior = sum(((v - sampled0[k]) ** 2).sum() for k, v in sampled.items())
+        return -nll - prior / (2.0 * prior_std**2)
+
+    result = hmc(logprob, sampled0, seed, num_samples=num_samples,
+                 num_warmup=num_warmup, num_chains=num_chains,
+                 chain_sharding=chain_sharding)
+    diagnostics = {}
+    for k, v in result.samples.items():
+        v0 = np.asarray(v).reshape(v.shape[0], v.shape[1], -1)[..., 0]
+        diagnostics[k] = {"rhat": split_rhat(v0), "ess": effective_sample_size(v0)}
+    return result, diagnostics

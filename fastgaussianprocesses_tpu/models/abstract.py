@@ -543,6 +543,7 @@ class AbstractGP:
             print(" " * verbose_indent + "~" * len(_s))
         mll_const = d_out * float(self.n.sum()) * math.log(2 * math.pi)
         loss_and_grad = self._make_loss_fn(loss_metric, masks, d_out, mll_const, cv_weights)
+        fit_data = self._fit_data()
         raw = self._raw_dict()
         trainable = {k: p.trainable for k, p in self.params.items()}
         opt_state = rprop_init(raw, lr=lr)
@@ -552,7 +553,7 @@ class AbstractGP:
         waits = 0
         i = 0
         for i in range(iterations + 1):
-            (loss, (term1, term2)), grads = loss_and_grad(raw)
+            (loss, (term1, term2)), grads = loss_and_grad(raw, fit_data)
             loss_f = float(loss)
             if loss_f < best_loss:
                 best_loss = loss_f
@@ -590,12 +591,16 @@ class AbstractGP:
     def _warm_for_fit(self):
         """Populate geometry/data caches eagerly so jit traces see constants."""
 
+    def _fit_data(self):
+        """Pytree of data arrays passed to the jitted loss (None = closures)."""
+        return None
+
     def _make_loss_fn(self, metric, masks, d_out, mll_const, cv_weights):
         """Build value_and_grad of the chosen loss over raw parameters."""
         self._warm_for_fit()
 
-        def loss_fn(raw):
-            solver = self._solver_pure(raw)
+        def loss_fn(raw, data):
+            solver = self._solver_pure(raw, data)
             if metric == "MLL":
                 norm_term, logdet = solver.norm_logdet_terms()
                 if masks is None:
@@ -630,6 +635,6 @@ class AbstractGP:
 
         return jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
 
-    def _solver_pure(self, raw):
+    def _solver_pure(self, raw, data=None):
         """Solver handle parameterized by explicit raw params (for autodiff)."""
         raise NotImplementedError

@@ -20,39 +20,45 @@ from .abstract import AbstractGP, _as_task_array
 
 
 class _FastSolver:
-    """Frequency-space solver handle for one (params, n-vector) instance."""
+    """Frequency-space solver handle for one (params, n-vector) instance.
 
-    def __init__(self, model, raw, n):
+    ``data``: optional (k1parts_list, ytildes_list) pytree passed explicitly
+    so jitted losses receive the large param-independent arrays as arguments
+    rather than closure constants (keeps executables small and donatable).
+    """
+
+    def __init__(self, model, raw, n, data=None):
         self.model = model
         self.n = np.asarray(n, dtype=np.int64)
         assert (self.n > 0).all(), "all tasks need data (or a future-n) for fast solves"
         self.task_order, self.inv_task_order = fs.sort_tasks(self.n)
         self.n_sorted = tuple(int(self.n[o]) for o in self.task_order)
+        self._data = data
         params = model._transformed(raw)
         kmat_tasks = model._task_gram(raw)
         scale, ls = params["scale"], params["lengthscales"]
         noise = params["noise"]
         T = model.num_tasks
         lam_pairs = {}
+        pair_idx = 0
         for l0 in range(T):
             to0 = self.task_order[l0]
             for l1 in range(l0, T):
                 to1 = self.task_order[l1]
                 nlen = self.n_sorted[l0]
-                if to0 <= to1:
-                    k1p = model._get_k1parts(to0, to1, nlen)
-                    k1 = series.kernel_from_parts(
-                        k1p, model.derivatives[to0], model.derivatives[to1],
-                        model.derivatives_coeffs[to0], model.derivatives_coeffs[to1],
-                        scale, ls)
-                    lam = model._ft(k1)
+                a, b = (to0, to1) if to0 <= to1 else (to1, to0)
+                if data is not None:
+                    k1p = data[0][pair_idx]
                 else:
-                    k1p = model._get_k1parts(to1, to0, nlen)
-                    k1 = series.kernel_from_parts(
-                        k1p, model.derivatives[to1], model.derivatives[to0],
-                        model.derivatives_coeffs[to1], model.derivatives_coeffs[to0],
-                        scale, ls)
-                    lam = jnp.conj(model._ft(k1))
+                    k1p = model._get_k1parts(a, b, nlen)
+                pair_idx += 1
+                k1 = series.kernel_from_parts(
+                    k1p, model.derivatives[a], model.derivatives[b],
+                    model.derivatives_coeffs[a], model.derivatives_coeffs[b],
+                    scale, ls)
+                lam = model._ft(k1)
+                if to0 > to1:
+                    lam = jnp.conj(lam)
                 lam_pairs[(l0, l1)] = lam
         lams = fs.effective_lams(lam_pairs, self.n_sorted, kmat_tasks, noise,
                                  self.task_order, self.inv_task_order,
@@ -76,6 +82,8 @@ class _FastSolver:
         return jnp.concatenate(zs, -1)
 
     def _ytildes(self):
+        if self._data is not None:
+            return list(self._data[1])
         return [self.model._get_ytilde(l, int(self.n[l])) for l in range(self.model.num_tasks)]
 
     def norm_logdet_terms(self):
@@ -208,8 +216,21 @@ class AbstractFastGP(AbstractGP):
         for l in range(self.num_tasks):
             self._get_ytilde(l, int(self.n[l]))
 
-    def _solver_pure(self, raw):
-        return _FastSolver(self, raw, self.n)
+    def _fit_data(self):
+        """(k1parts, ytildes) pytree handed to the jitted loss as arguments."""
+        task_order, _ = fs.sort_tasks(self.n)
+        T = self.num_tasks
+        k1parts = []
+        for l0 in range(T):
+            for l1 in range(l0, T):
+                to0, to1 = task_order[l0], task_order[l1]
+                nlen = int(self.n[task_order[l0]])
+                k1parts.append(self._get_k1parts(min(to0, to1), max(to0, to1), nlen))
+        ytildes = [self._get_ytilde(l, int(self.n[l])) for l in range(T)]
+        return (tuple(k1parts), tuple(ytildes))
+
+    def _solver_pure(self, raw, data=None):
+        return _FastSolver(self, raw, self.n, data=data)
 
     # -- data ingestion guards (abstract_fast_gp.py:32-40) ---------------
     def get_x_next(self, n, task=None):

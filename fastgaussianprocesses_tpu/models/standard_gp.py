@@ -202,7 +202,7 @@ class StandardGP(AbstractGP):
         for l in range(self.num_tasks):
             self._get_xxb(l, int(self.n[l]))
 
-    def _solver_pure(self, raw):
+    def _solver_pure(self, raw, data=None):
         return _StandardSolver(self, raw, self.n)
 
     def _on_data_change(self):

@@ -91,8 +91,10 @@ def fftbr(x: jax.Array) -> jax.Array:
     if n == 1:
         return x.astype(_complex_dtype(x.dtype))
     m = log2_int(n)
-    perm = jnp.asarray(bit_reverse_permutation(m))
-    return jnp.fft.fft(jnp.take(x, perm, axis=-1), norm="ortho")
+    perm = jnp.asarray(bit_reverse_permutation(m).astype(np.int32))
+    # explicit 1/sqrt(n) normalization: jnp.fft's norm="ortho" runs an eager
+    # int64 reduction that restricted TPU backends reject
+    return jnp.fft.fft(jnp.take(x, perm, axis=-1)) * (1.0 / math.sqrt(n))
 
 
 def ifftbr(x: jax.Array) -> jax.Array:
@@ -101,8 +103,9 @@ def ifftbr(x: jax.Array) -> jax.Array:
     if n == 1:
         return x
     m = log2_int(n)
-    perm = jnp.asarray(bit_reverse_permutation(m))
-    return jnp.take(jnp.fft.ifft(x, norm="ortho"), perm, axis=-1)
+    perm = jnp.asarray(bit_reverse_permutation(m).astype(np.int32))
+    # jnp.fft.ifft applies 1/n; rescale by sqrt(n) for the orthonormal form
+    return jnp.take(jnp.fft.ifft(x) * math.sqrt(n), perm, axis=-1)
 
 
 def _complex_dtype(real_dtype):
