@@ -197,7 +197,12 @@ class AbstractFastGP(AbstractGP):
         if key not in self._solver_cache:
             # warm the k1parts caches outside any trace
             self._warm_k1parts(n)
-            self._solver_cache[key] = _FastSolver(self, self._raw_dict(), n)
+            solver = _FastSolver(self, self._raw_dict(), n)
+            from ..config import debug_checks_enabled
+            if debug_checks_enabled():
+                from ..utils.debug import check_fast_solver
+                check_fast_solver(self, solver)
+            self._solver_cache[key] = solver
             if len(self._solver_cache) > 8:
                 self._solver_cache.pop(next(iter(self._solver_cache)))
         return self._solver_cache[key]

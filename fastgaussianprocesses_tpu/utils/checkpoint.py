@@ -1,0 +1,65 @@
+"""Checkpoint / resume for GP models.
+
+The reference has no explicit persistence: ``state_dict()`` covers
+hyperparameters but not the observation buffers, so resume requires
+re-adding data (SURVEY.md section 5).  Here the full dynamic state —
+raw hyperparameters, per-task observations, sample counts, and the
+sequence randomizations needed to regenerate identical points — round-trips
+through one ``.npz`` file.  Static configuration (dimensions, kernel class,
+derivative multi-indices) stays in the constructor call: build an
+identically-configured model, then ``load_state`` into it.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def save_state(model, path: str):
+    """Write the model's dynamic state to ``path`` (.npz)."""
+    arrays = {"n": np.asarray(model.n)}
+    for k, p in model.params.items():
+        arrays[f"raw_{k}"] = np.asarray(p.raw)
+    for l in range(model.num_tasks):
+        arrays[f"y_{l}"] = np.asarray(model._y[l])
+    for l, seq in enumerate(model.seqs):
+        if hasattr(seq, "shift"):
+            arrays[f"seq_shift_{l}"] = np.asarray(seq.shift)
+        if hasattr(seq, "columns"):
+            arrays[f"seq_columns_{l}"] = np.asarray(seq.columns)
+        if hasattr(seq, "gen_vec"):
+            arrays[f"seq_gen_vec_{l}"] = np.asarray(seq.gen_vec)
+    np.savez(path, **arrays)
+
+
+def load_state(model, path: str):
+    """Restore state saved by :func:`save_state` into a model built with the
+    same constructor configuration."""
+    data = np.load(path)
+    raw = {}
+    for k in model.params:
+        raw[k] = jnp.asarray(data[f"raw_{k}"], dtype=model.params[k].raw.dtype)
+    model._set_raw(raw)
+    n = data["n"]
+    assert n.shape == (model.num_tasks,)
+    for l, seq in enumerate(model.seqs):
+        if f"seq_shift_{l}" in data and hasattr(seq, "shift"):
+            seq.shift = data[f"seq_shift_{l}"]
+        if f"seq_columns_{l}" in data and hasattr(seq, "columns"):
+            seq.columns = data[f"seq_columns_{l}"]
+            seq._xb = np.zeros((1, seq.d), dtype=np.uint32)
+        if f"seq_gen_vec_{l}" in data and hasattr(seq, "gen_vec"):
+            seq.gen_vec = data[f"seq_gen_vec_{l}"]
+    # reset geometric caches (they may be bound to the old randomization)
+    model._x_cache = [None] * model.num_tasks
+    model._xb_cache = [None] * model.num_tasks
+    if hasattr(model, "_k1parts_cache"):
+        model._k1parts_cache.clear()
+    if hasattr(model, "_ytilde_cache"):
+        model._ytilde_cache.clear()
+    if hasattr(model, "_solver_cache"):
+        model._solver_cache.clear()
+    model._y = [jnp.asarray(data[f"y_{l}"], dtype=model.dtype)
+                for l in range(model.num_tasks)]
+    model.n = np.asarray(n, dtype=np.int64)
+    model._coeffs_cache = None
+    return model
