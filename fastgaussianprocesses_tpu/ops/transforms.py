@@ -92,9 +92,11 @@ def fftbr(x: jax.Array) -> jax.Array:
         return x.astype(_complex_dtype(x.dtype))
     m = log2_int(n)
     perm = jnp.asarray(bit_reverse_permutation(m).astype(np.int32))
-    # explicit 1/sqrt(n) normalization: jnp.fft's norm="ortho" runs an eager
-    # int64 reduction that restricted TPU backends reject
-    return jnp.fft.fft(jnp.take(x, perm, axis=-1)) * (1.0 / math.sqrt(n))
+    # explicit complex cast (x64 mode would promote f32 -> c128, which TPUs
+    # reject) and explicit 1/sqrt(n) normalization (jnp's norm="ortho" runs
+    # an eager int64 reduction restricted TPU backends reject)
+    xc = x.astype(_complex_dtype(x.dtype)) if not jnp.iscomplexobj(x) else x
+    return jnp.fft.fft(jnp.take(xc, perm, axis=-1)) * (1.0 / math.sqrt(n))
 
 
 def ifftbr(x: jax.Array) -> jax.Array:

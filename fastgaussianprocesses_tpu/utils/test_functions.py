@@ -1,0 +1,76 @@
+"""Standard optimization test functions on [0,1]^d (with gradients).
+
+The reference benchmarks on Ackley, Branin, Six-Hump Camel, Styblinski-Tang
+and Hartmann-6 (probnum25_paper.ipynb cell 7); these are the standard
+definitions (www.sfu.ca/~ssurjano) rescaled to the unit cube.  ``grad_*``
+variants are provided for derivative-informed benchmarks via jax.grad.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def ackley(x, a=20.0, b=0.2, c=2 * jnp.pi, scaling=32.768):
+    x = 2 * scaling * x - scaling
+    t1 = a * jnp.exp(-b * jnp.sqrt(jnp.mean(x**2, -1)))
+    t2 = jnp.exp(jnp.mean(jnp.cos(c * x), -1))
+    return -t1 - t2 + a + jnp.e
+
+
+def branin(x):
+    assert x.shape[-1] == 2
+    x1 = 15.0 * x[..., 0] - 5.0
+    x2 = 15.0 * x[..., 1]
+    a, b, c = 1.0, 5.1 / (4 * jnp.pi**2), 5.0 / jnp.pi
+    r, s, t = 6.0, 10.0, 1.0 / (8 * jnp.pi)
+    return a * (x2 - b * x1**2 + c * x1 - r) ** 2 + s * (1 - t) * jnp.cos(x1) + s
+
+
+def six_hump_camel(x):
+    assert x.shape[-1] == 2
+    x1 = 6.0 * x[..., 0] - 3.0
+    x2 = 4.0 * x[..., 1] - 2.0
+    return ((4 - 2.1 * x1**2 + x1**4 / 3) * x1**2 + x1 * x2
+            + (-4 + 4 * x2**2) * x2**2)
+
+
+def styblinski_tang(x):
+    z = 10.0 * x - 5.0
+    return 0.5 * jnp.sum(z**4 - 16 * z**2 + 5 * z, -1)
+
+
+_HARTMANN6_A = np.array([
+    [10, 3, 17, 3.5, 1.7, 8],
+    [0.05, 10, 17, 0.1, 8, 14],
+    [3, 3.5, 1.7, 10, 17, 8],
+    [17, 8, 0.05, 10, 0.1, 14],
+])
+_HARTMANN6_P = 1e-4 * np.array([
+    [1312, 1696, 5569, 124, 8283, 5886],
+    [2329, 4135, 8307, 3736, 1004, 9991],
+    [2348, 1451, 3522, 2883, 3047, 6650],
+    [4047, 8828, 8732, 5743, 1091, 381],
+])
+_HARTMANN6_ALPHA = np.array([1.0, 1.2, 3.0, 3.2])
+
+
+def hartmann6(x):
+    assert x.shape[-1] == 6
+    inner = ((x[..., None, :] - _HARTMANN6_P) ** 2 * _HARTMANN6_A).sum(-1)
+    return -(_HARTMANN6_ALPHA * jnp.exp(-inner)).sum(-1)
+
+
+SUITE = {
+    "ackley_d1": (lambda x: ackley(x), 1),
+    "branin": (branin, 2),
+    "camel": (six_hump_camel, 2),
+    "stytang": (styblinski_tang, 2),
+    "hartmann": (hartmann6, 6),
+}
+
+
+def gradient(f):
+    """Batched gradient of a scalar test function."""
+    g = jax.vmap(jax.grad(lambda xi: jnp.sum(f(xi[None, :]))))
+    return lambda x: g(x)
