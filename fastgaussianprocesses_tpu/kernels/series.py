@@ -52,8 +52,8 @@ def si_parts_from_delta(delta, alpha: np.ndarray, beta: np.ndarray, kappa: np.nd
     assert (order >= 2).all(), f"kernel order must be >= 2, got {order}"
     cols = []
     for j in range(d):
-        coeff = (-1.0) ** (alpha[j] + kappa[j] + 1) * math.exp(
-            2 * alpha[j] * math.log(2 * math.pi) - math.lgamma(order[j] + 1)
+        coeff = float((-1.0) ** (alpha[j] + kappa[j] + 1)) * math.exp(
+            2 * int(alpha[j]) * math.log(2 * math.pi) - math.lgamma(int(order[j]) + 1)
         )
         cols.append(coeff * bernoulli_poly(int(order[j]), delta[..., j]))
     return jnp.stack(cols, axis=-1)
@@ -93,7 +93,7 @@ def dsi_parts_from_delta(delta_b, t: int, alpha: np.ndarray, beta: np.ndarray, k
     for j in range(d):
         om = omega_walsh(delta_b[..., j], t, int(order[j]), dtype=dtype)
         ind = 1.0 if bpk[j] > 0 else 0.0
-        cols.append(((-2.0) ** bpk[j]) * (ind + om))
+        cols.append(float((-2.0) ** bpk[j]) * (ind + om))
     return jnp.stack(cols, axis=-1)
 
 
