@@ -176,27 +176,60 @@ def trace_inverse(factor: FastFactor):
     return jnp.diagonal(factor.inv, axis1=-2, axis2=-1).real.sum((-1, -2))
 
 
-def inv_diag_pointspace(factor: FastFactor):
+def inv_diag_pointspace(factor: FastFactor, kind: str, point_class_fn):
     """Exact diagonal of K^-1 in point space, per original task.
 
-    Circulant structure makes the diagonal constant within each task:
-    entry = mean over that task's frequencies of the (l, l) inverse entries.
-    Returns a list of (...,) scalars per original task.  (Exact counterpart
-    of the reference's approximation at util.py:381-394.)
+    Within sorted task l, frequencies couple across the r_l = n_l/n_min
+    replicas of each residue, so the point-space diagonal takes r_l distinct
+    values indexed by a point "class":
+
+        diag_c = (1/n_l) sum_rho  v_c^H  B_rho  v_c,
+
+    with B_rho the task's (r_l, r_l) inverse block at residue rho and
+    characters v_c[j] = exp(-2 pi i c j / r_l) (lattice / Fourier) or
+    (-1)^<c, j> (digital / Walsh).  ``point_class_fn(task, n_l, r_l)`` maps
+    each of the task's point indices to its class in [0, r_l).
+
+    This is the exact counterpart of the reference's approximation /
+    O(n^2 log n) fallback at util.py:381-394.  Returns per-task (..., n_l)
+    arrays in original task order.
     """
     n_sorted = factor.n_sorted
     if factor.lam_eff is not None:
-        return [(1.0 / factor.lam_eff).real.mean(-1)]
+        n = factor.lam_eff.shape[-1]
+        val = (1.0 / factor.lam_eff).real.mean(-1)
+        return [jnp.broadcast_to(val[..., None], val.shape + (n,))]
     n_min = int(n_sorted[-1])
     r = [int(nl) // n_min for nl in n_sorted]
     out_sorted = []
     off = 0
-    for rl in r:
-        block = factor.inv[..., off:off + rl, off:off + rl]
-        diag = jnp.diagonal(block, axis1=-2, axis2=-1).real  # (..., n_min, rl)
-        out_sorted.append(diag.mean((-1, -2)))
+    for l, rl in enumerate(r):
+        block = factor.inv[..., off:off + rl, off:off + rl]  # (..., n_min, rl, rl)
+        if kind == "fourier":
+            c = np.arange(rl)
+            v = np.exp(-2j * np.pi * np.outer(c, c) / rl)  # v[c, j]
+        else:
+            cc = np.arange(rl)
+            v = np.where(_popcount_and(cc[:, None], cc[None, :]) % 2 == 1, -1.0, 1.0)
+        v = jnp.asarray(v, dtype=block.dtype)
+        # diag_c = (1/n_l) sum_rho conj(v[c])^T B_rho v[c]
+        vals = jnp.einsum("cj,...pjk,ck->...c", jnp.conj(v), block, v).real
+        vals = vals / float(n_sorted[l])
+        classes = np.asarray(point_class_fn(factor.task_order[l], int(n_sorted[l]), rl))
+        out_sorted.append(jnp.take(vals, jnp.asarray(classes), axis=-1))
         off += rl
     return [out_sorted[o] for o in factor.inv_task_order]
+
+
+def _popcount_and(a, b):
+    x = (a & b).astype(np.uint64)
+    count = np.zeros_like(x)
+    for _ in range(16):
+        count += x & 1
+        x >>= 1
+        if not x.any():
+            break
+    return count
 
 
 def dc_block(factor: FastFactor):

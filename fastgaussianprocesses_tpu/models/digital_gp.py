@@ -76,3 +76,12 @@ class FastGPDigitalNetB2(AbstractFastGP):
 
     def get_omega(self, m):
         return 1.0
+
+    _char_kind = "walsh"
+
+    def _point_class(self, task, n_l, r_l):
+        """Class of point i for exact inverse diagonals: top log2(r_l) bits."""
+        import numpy as np
+        from ..ops.bitops import log2_int
+        m_min = log2_int(n_l) - log2_int(r_l)
+        return np.arange(n_l) >> m_min

@@ -112,10 +112,9 @@ class _FastSolver:
         return jnp.concatenate(zs, -1)
 
     def inv_diag(self):
-        """Diagonal of K^-1 in point space, per-task constant expanded."""
-        per_task = fs.inv_diag_pointspace(self.factor)
-        cols = [jnp.broadcast_to(v[..., None], v.shape + (int(self.n[l]),))
-                for l, v in enumerate(per_task)]
+        """Exact diagonal of K^-1 in point space (concatenated over tasks)."""
+        cols = fs.inv_diag_pointspace(self.factor, self.model._char_kind,
+                                      self.model._point_class)
         batch = jnp.broadcast_shapes(*[c.shape[:-1] for c in cols])
         cols = [jnp.broadcast_to(c, batch + c.shape[-1:]) for c in cols]
         return jnp.concatenate(cols, -1)

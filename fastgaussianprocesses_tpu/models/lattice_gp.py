@@ -61,3 +61,10 @@ class FastGPLattice(AbstractFastGP):
 
     def get_omega(self, m):
         return tr.get_omega_lattice(m, dtype=self._ftout_dtype())
+
+    _char_kind = "fourier"
+
+    def _point_class(self, task, n_l, r_l):
+        """Class of point i for exact inverse diagonals: rho_m(i) mod r_l."""
+        from ..ops.bitops import bit_reverse_permutation, log2_int
+        return bit_reverse_permutation(log2_int(n_l))[:n_l] % r_l

@@ -107,8 +107,11 @@ class DigitalNetB2:
     def __call__(self, n_min: int, n_max: int, return_binary: bool = False):
         """Points with indices in [n_min, n_max); float in [0,1) or t-bit ints."""
         assert 0 <= n_min <= n_max <= (1 << self.m_max)
-        self._grow(n_max)
-        xb = self._xb[n_min:n_max] ^ self.shift[None, :]
+        from . import native
+        xb = native.sobol_natural(self.columns, int(n_min), int(n_max), self.shift)
+        if xb is None:
+            self._grow(n_max)
+            xb = self._xb[n_min:n_max] ^ self.shift[None, :]
         if return_binary:
             return xb
         return xb.astype(np.float64) * 2.0**-self.t

@@ -89,6 +89,10 @@ class LatticeSeq:
     def __call__(self, n_min: int, n_max: int) -> np.ndarray:
         """Points with indices in [n_min, n_max), shape (n_max - n_min, d)."""
         assert 0 <= n_min <= n_max <= (1 << self.m_max)
+        from . import native
+        out = native.lattice_natural(self.gen_vec, int(n_min), int(n_max), self.shift)
+        if out is not None:
+            return out
         idx = np.arange(n_min, n_max, dtype=np.uint64)
         base = van_der_corput(idx)[:, None] * self.gen_vec[None, :].astype(np.float64)
         x = (base + self.shift[None, :]) % 1.0

@@ -1,0 +1,45 @@
+"""float32 models must lower to pure f32/c64 programs (TPU backends reject
+f64/c128; numpy-scalar promotion bugs regress silently otherwise)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fastgaussianprocesses_tpu import FastGPDigitalNetB2, FastGPLattice
+
+
+@pytest.mark.parametrize("model_cls", [FastGPLattice, FastGPDigitalNetB2])
+def test_f32_loss_and_grad_graph_is_pure(model_cls):
+    fgp = model_cls(3, seed_for_seq=7, dtype=jnp.float32)
+    x = np.asarray(fgp.get_x_next(128))
+    fgp.add_y_next(jnp.asarray(np.sin(x[:, 0]), dtype=jnp.float32))
+    data = fgp._fit_data()
+
+    def loss_fn(raw, data):
+        solver = fgp._solver_pure(raw, data)
+        norm, logdet = solver.norm_logdet_terms()
+        return 0.5 * (norm.sum() + logdet.sum())
+
+    txt = jax.jit(jax.grad(loss_fn)).lower(fgp._raw_dict(), data).as_text()
+    assert "f64" not in txt, "float64 leaked into the f32 loss graph"
+    assert "c128" not in txt, "complex128 leaked into the f32 loss graph"
+
+
+def test_f32_posterior_accuracy_vs_f64():
+    """float32 fast path stays within ~1e-4 relative of float64 at n=2^12."""
+    results = {}
+    for dtype in (jnp.float64, jnp.float32):
+        fgp = FastGPLattice(2, seed_for_seq=7, dtype=dtype)
+        x = np.asarray(fgp.get_x_next(1 << 12))
+        y = np.sin(2 * np.pi * x[:, 0]) * np.cos(2 * np.pi * x[:, 1])
+        fgp.add_y_next(jnp.asarray(y, dtype=dtype))
+        xq = np.random.default_rng(0).uniform(size=(64, 2))
+        results[str(dtype)] = (np.asarray(fgp.post_mean(xq), dtype=np.float64),
+                               np.asarray(fgp.post_var(xq), dtype=np.float64),
+                               float(fgp.post_cubature_mean()))
+    pm64, pv64, pcm64 = results[str(jnp.float64)]
+    pm32, pv32, pcm32 = results[str(jnp.float32)]
+    assert np.linalg.norm(pm32 - pm64) / np.linalg.norm(pm64) < 1e-3
+    np.testing.assert_allclose(pcm32, pcm64, rtol=1e-3, atol=1e-6)

@@ -1,0 +1,95 @@
+"""Fit-loop variants: GCV and CV losses, masks, cv_weights, histories."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fastgaussianprocesses_tpu import FastGPLattice, StandardGP
+from util_oracle import dense_gram
+
+
+def _data(fgp, n=64, f=None):
+    x = np.asarray(fgp.get_x_next(n))
+    y = np.sin(2 * np.pi * x[:, 0]) if f is None else f(x)
+    fgp.add_y_next(jnp.asarray(np.broadcast_to(y, fgp.shape_batch + y.shape)))
+    return x, y
+
+
+@pytest.mark.parametrize("metric", ["GCV", "CV"])
+def test_alternative_loss_metrics_run_and_improve(metric):
+    fgp = FastGPLattice(2, seed_for_seq=7, noise=1e-4)
+    _data(fgp)
+    data = fgp.fit(loss_metric=metric, iterations=15, verbose=0, store_loss_hist=True)
+    lh = data["loss_hist"]
+    assert np.isfinite(lh).all()
+    assert lh[-1] <= lh[0] + 1e-9  # loss metrics decrease
+
+
+def test_gcv_terms_match_dense():
+    """GCV numerator/denominator against dense formulas (util.py:254-261)."""
+    fgp = FastGPLattice(2, seed_for_seq=5, noise=1e-3)
+    _data(fgp, n=32)
+    K = dense_gram(fgp)
+    y = np.asarray(fgp.y)
+    Kinv = np.linalg.inv(K)
+    v = Kinv @ y
+    solver = fgp._solver()
+    numer, denom = solver.gcv_terms()
+    np.testing.assert_allclose(float(np.asarray(numer)[0]), (v**2).sum(), rtol=1e-7)
+    np.testing.assert_allclose(float(np.asarray(denom)[0]),
+                               (np.trace(Kinv) / len(y)) ** 2, rtol=1e-7)
+
+
+def test_cv_inv_diag_exact():
+    """Fast-path inv_diag equals the dense K^-1 diagonal (exact, cf. the
+    reference's approximation at util.py:381-394)."""
+    fgp = FastGPLattice(2, seed_for_seq=5, noise=1e-3)
+    _data(fgp, n=32)
+    K = dense_gram(fgp)
+    want = np.diag(np.linalg.inv(K))
+    got = np.asarray(fgp._solver().inv_diag())
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # multitask
+    fgp2 = FastGPLattice(2, num_tasks=2, seed_for_seq=6, noise=1e-3)
+    xs = fgp2.get_x_next([32, 8], task=[0, 1])
+    fgp2.add_y_next([jnp.asarray(np.sin(np.asarray(x)[:, 0])) for x in xs], task=[0, 1])
+    K2 = dense_gram(fgp2)
+    want2 = np.diag(np.linalg.inv(K2))
+    got2 = np.asarray(fgp2._solver().inv_diag())
+    np.testing.assert_allclose(got2, want2, rtol=1e-6)
+
+
+def test_masked_fit_only_moves_masked_outputs():
+    B = 3
+    fgp = FastGPLattice(2, seed_for_seq=7, shape_batch=(B,),
+                        shape_lengthscales=(B, 2), shape_scale=(B, 1))
+    x = np.asarray(fgp.get_x_next(64))
+    ys = np.stack([np.sin(2 * np.pi * x[:, 0]) * (b + 1) for b in range(B)])
+    fgp.add_y_next(jnp.asarray(ys))
+    ls0 = np.asarray(fgp.lengthscales).copy()
+    fgp.fit(iterations=8, verbose=0, masks=np.array([[0]]))
+    ls1 = np.asarray(fgp.lengthscales)
+    assert not np.allclose(ls1[0], ls0[0])  # masked batch element moved
+    np.testing.assert_allclose(ls1[1:], ls0[1:])  # others untouched
+
+
+def test_cv_weights():
+    fgp = FastGPLattice(2, seed_for_seq=7, noise=1e-4)
+    _data(fgp)
+    w = jnp.asarray(np.linspace(0.5, 2.0, 64))
+    data = fgp.fit(loss_metric="CV", iterations=5, verbose=0, cv_weights=w,
+                   store_loss_hist=True)
+    assert np.isfinite(data["loss_hist"]).all()
+
+
+def test_history_storage_shapes():
+    fgp = StandardGP(2, seed_for_seq=7)
+    _data(fgp, n=32)
+    data = fgp.fit(iterations=6, verbose=0, store_hists=True)
+    it = data["iterations"]
+    assert data["loss_hist"].shape == (it + 1,)
+    assert data["scale_hist"].shape == (it + 1, 1)
+    assert data["lengthscales_hist"].shape == (it + 1, 2)
+    assert data["noise_hist"].shape == (it + 1, 1)
+    assert data["task_kernel_hist"].shape == (it + 1, 1, 1)
