@@ -50,13 +50,13 @@ class _FastSolver:
                 if data is not None:
                     k1p = data[0][pair_idx]
                 else:
-                    k1p = model._get_k1parts(a, b, nlen)
+                    k1p = model._get_k1parts_lam(a, b, nlen)
                 pair_idx += 1
                 k1 = series.kernel_from_parts(
                     k1p, model.derivatives[a], model.derivatives[b],
                     model.derivatives_coeffs[a], model.derivatives_coeffs[b],
                     scale, ls)
-                lam = model._ft(k1)
+                lam = model._ft_lam(k1)
                 if to0 > to1:
                     lam = jnp.conj(lam)
                 lam_pairs[(l0, l1)] = lam
@@ -172,6 +172,18 @@ class AbstractFastGP(AbstractGP):
             return jnp.asarray(xb, dtype=self.dtype)
         return jnp.asarray(xb)
 
+    def _get_k1parts_lam(self, l0, l1, n):
+        """First-column parts in the layout consumed by ``_ft_lam``.
+
+        Default: the natural-order cache.  The lattice model overrides this
+        with a bit-reverse-permuted per-n cache so the hot loop's transform
+        is a plain FFT with no gather (TPU gathers cost ~100x the FFT)."""
+        return self._get_k1parts(l0, l1, n)
+
+    def _ft_lam(self, k1):
+        """Transform applied to first columns inside the solver."""
+        return self._ft(k1)
+
     def _get_ytilde(self, task, n):
         """Transformed observations (reference _YtildeCache, util.py:164-183)."""
         key = (task, n)
@@ -213,7 +225,7 @@ class AbstractFastGP(AbstractGP):
             for l1 in range(l0, T):
                 to0, to1 = task_order[l0], task_order[l1]
                 nlen = int(n[task_order[l0]])
-                self._get_k1parts(min(to0, to1), max(to0, to1), nlen)
+                self._get_k1parts_lam(min(to0, to1), max(to0, to1), nlen)
 
     def _warm_for_fit(self):
         self._warm_k1parts(self.n)
@@ -229,7 +241,7 @@ class AbstractFastGP(AbstractGP):
             for l1 in range(l0, T):
                 to0, to1 = task_order[l0], task_order[l1]
                 nlen = int(self.n[task_order[l0]])
-                k1parts.append(self._get_k1parts(min(to0, to1), max(to0, to1), nlen))
+                k1parts.append(self._get_k1parts_lam(min(to0, to1), max(to0, to1), nlen))
         ytildes = [self._get_ytilde(l, int(self.n[l])) for l in range(T)]
         return (tuple(k1parts), tuple(ytildes))
 

@@ -43,6 +43,7 @@ class FastGPLattice(AbstractFastGP):
         a = np.asarray(alpha)
         assert ((1 <= a) & (2 * a <= MAX_ORDER)).all(), "alpha must be in [1, 4]"
         super().__init__(alpha, seqs, num_tasks=num_tasks, noise=noise, **kwargs)
+        self._k1parts_br_cache = {}
 
     def _ftout_dtype(self):
         return jnp.complex128 if self.dtype == jnp.float64 else jnp.complex64
@@ -63,6 +64,29 @@ class FastGPLattice(AbstractFastGP):
         return tr.get_omega_lattice(m, dtype=self._ftout_dtype())
 
     _char_kind = "fourier"
+
+    def _get_k1parts_lam(self, l0, l1, n):
+        """Bit-reverse-permuted first-column parts, cached per (pair, n).
+
+        Permuting the hyperparameter-free parts once lets ``_ft_lam`` be a
+        plain FFT: the O(n) gather (and its scatter transpose in the
+        backward pass) disappears from every fit step.
+        """
+        key = (l0, l1, int(n))
+        cached = self._k1parts_br_cache.get(key)
+        if cached is None:
+            from ..ops.bitops import bit_reverse_permutation, log2_int
+            parts = self._get_k1parts(l0, l1, n)
+            perm = bit_reverse_permutation(log2_int(int(n)))
+            cached = jnp.take(parts, jnp.asarray(perm.astype(np.int32)), axis=0)
+            self._k1parts_br_cache[key] = cached
+            if len(self._k1parts_br_cache) > 24:
+                self._k1parts_br_cache.pop(next(iter(self._k1parts_br_cache)))
+        return cached
+
+    def _ft_lam(self, k1):
+        """Mean-centered plain orthonormal FFT (input already bit-reversed)."""
+        return tr.ft_stable_plain_fft(k1)
 
     def _point_class(self, task, n_l, r_l):
         """Class of point i for exact inverse diagonals: rho_m(i) mod r_l."""

@@ -131,6 +131,21 @@ def ft_stable_lattice(x: jax.Array) -> jax.Array:
     return _stabilize(fftbr, x)
 
 
+def _fft_plain(x: jax.Array) -> jax.Array:
+    """Orthonormal FFT without the bit-reversal gather (for inputs already
+    stored in bit-reversed order)."""
+    n = x.shape[-1]
+    if n == 1:
+        return x.astype(_complex_dtype(x.dtype))
+    xc = x.astype(_complex_dtype(x.dtype)) if not jnp.iscomplexobj(x) else x
+    return jnp.fft.fft(xc) * (1.0 / math.sqrt(n))
+
+
+def ft_stable_plain_fft(x: jax.Array) -> jax.Array:
+    """Mean-centered orthonormal FFT of pre-permuted input."""
+    return _stabilize(_fft_plain, x)
+
+
 def ift_stable_lattice(x: jax.Array) -> jax.Array:
     """Mean-centered ``ifftbr`` (reference ``ift`` wrapper, abstract_fast_gp.py:213)."""
     return _stabilize(ifftbr, x)
