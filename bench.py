@@ -50,7 +50,7 @@ def main():
     loss, raw, opt_state = step(raw, opt_state, data)
     jax.block_until_ready(loss)
 
-    iters = 20
+    iters = 100
     t0 = time.perf_counter()
     for _ in range(iters):
         loss, raw, opt_state = step(raw, opt_state, data)
