@@ -21,6 +21,14 @@ import jax
 if os.environ.get("FASTGPS_TPU_NO_X64", "0") != "1":
     jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls default to bfloat16 operand rounding; the FWHT's Hadamard
+# contractions (and solver einsums) need true float32 — the +-1 matrices are
+# exact, it is the DATA that must not be rounded to 8-bit mantissas.
+# Override with FASTGPS_TPU_MATMUL_PRECISION=default for max raw throughput.
+_prec = os.environ.get("FASTGPS_TPU_MATMUL_PRECISION", "highest")
+if _prec != "default":
+    jax.config.update("jax_default_matmul_precision", _prec)
+
 
 def default_dtype():
     """float64 on CPU backends, float32 on accelerators (TPU/GPU)."""

@@ -135,6 +135,8 @@ class AbstractFastGP(AbstractGP):
         self._k1parts_cache = {}   # (l0, l1) -> device array (n, p0, p1, d)
         self._ytilde_cache = {}    # (task, n) -> device array
         self._solver_cache = {}    # (version, n-tuple) -> _FastSolver
+        self._kernel_parts_jit = {}
+        self._ft_jit = jax.jit(self._ft)
 
     # -- concrete-model hooks -------------------------------------------
     def _ft(self, x):
@@ -159,10 +161,13 @@ class AbstractFastGP(AbstractGP):
         if n > have:
             xb0 = self._get_xxb(l0, n)[1][have:n]
             xb1 = self._get_xxb(l1, 1)[1][:1]
-            new = series.kernel_parts(
-                self._parts_from_delta,
-                self._to_device_xb(xb0), self._to_device_xb(xb1),
-                self._ominus, self.derivatives[l0], self.derivatives[l1])
+            fn = self._kernel_parts_jit.get(key)
+            if fn is None:
+                fn = jax.jit(lambda a, b, _l0=l0, _l1=l1: series.kernel_parts(
+                    self._parts_from_delta, a, b, self._ominus,
+                    self.derivatives[_l0], self.derivatives[_l1]))
+                self._kernel_parts_jit[key] = fn
+            new = fn(self._to_device_xb(xb0), self._to_device_xb(xb1))
             cur = new if cur is None else jnp.concatenate([cur, new], 0)
             self._k1parts_cache[key] = cur
         return cur[:n]
@@ -190,7 +195,7 @@ class AbstractFastGP(AbstractGP):
         if key not in self._ytilde_cache:
             y = self._y[task]
             assert y.shape[-1] == n
-            self._ytilde_cache[key] = self._ft(y) if n > 1 else y.astype(self._ftout_dtype())
+            self._ytilde_cache[key] = self._ft_jit(y) if n > 1 else y.astype(self._ftout_dtype())
         return self._ytilde_cache[key]
 
     def _ftout_dtype(self):
