@@ -110,7 +110,7 @@ def hmc(logprob_fn: Callable, init_params, key,
         h1 = lp1 - kinetic(p_new, inv_mass)
         log_alpha = jnp.minimum(h1 - h0, 0.0)
         log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
-        accept = jnp.log(jax.random.uniform(ku, (num_chains,))) < log_alpha
+        accept = jnp.log(jax.random.uniform(ku, (num_chains,), dtype=dtype)) < log_alpha
         q = jnp.where(accept[:, None], q_new, q)
         lp = jnp.where(accept, lp1, lp0)
         # dual averaging on the cross-chain mean acceptance (psum under SPMD)
@@ -220,7 +220,7 @@ def sample_gp_hyperposterior(model, num_samples=500, num_warmup=500,
         raw.update(sampled)
         solver = model._solver_pure(raw, data)
         norm, logdet = solver.norm_logdet_terms()
-        term2 = d_out / np.prod(logdet.shape) * logdet.sum()
+        term2 = d_out / float(np.prod(logdet.shape)) * logdet.sum()
         nll = 0.5 * (norm.sum() + term2 + mll_const)
         prior = sum(((v - sampled0[k]) ** 2).sum() for k, v in sampled.items())
         return -nll - prior / (2.0 * prior_std**2)

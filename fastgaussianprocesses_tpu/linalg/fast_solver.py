@@ -23,6 +23,7 @@ entries ``sqrt(n1) * ft(k1)[k]`` at (k, k mod n1).
 
 from typing import NamedTuple, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -121,14 +122,31 @@ def factorize(lams: dict, n_sorted, task_order, inv_task_order) -> FastFactor:
                 cols.append(jnp.conj(jnp.swapaxes(b, -1, -2)))
         rows.append(jnp.concatenate(cols, axis=-1))
     theta = jnp.concatenate(rows, axis=-2)  # (..., n_min, M, M)
-    chol = jnp.linalg.cholesky(theta)
     m = theta.shape[-1]
-    diag = jnp.diagonal(chol, axis1=-2, axis2=-1).real
-    logdet = 2.0 * jnp.log(diag).sum((-1, -2))
-    eye = jnp.eye(m, dtype=theta.dtype)
-    # L L^H X = I  =>  X = L^-H L^-1
-    linv = jnp.linalg.solve(chol, jnp.broadcast_to(eye, chol.shape))
-    inv = jnp.swapaxes(jnp.conj(linv), -1, -2) @ linv
+    if jnp.iscomplexobj(theta):
+        # Real embedding of the Hermitian system: E(A) = [[Re, -Im], [Im, Re]]
+        # is symmetric PD with E(A)^-1 = E(A^-1) and logdet E = 2 logdet A.
+        # TPU backends lack complex Cholesky; this stays in native real f32.
+        re, im = jnp.real(theta), jnp.imag(theta)
+        emb = jnp.concatenate([
+            jnp.concatenate([re, -im], -1),
+            jnp.concatenate([im, re], -1)], -2)
+        chol = jnp.linalg.cholesky(emb)
+        diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
+        logdet = jnp.log(diag).sum((-1, -2))  # = (2 * logdet A) / 2 summed
+        eye = jnp.eye(2 * m, dtype=emb.dtype)
+        linv = jax.scipy.linalg.solve_triangular(
+            chol, jnp.broadcast_to(eye, chol.shape), lower=True)
+        einv = jnp.swapaxes(linv, -1, -2) @ linv
+        inv = (einv[..., :m, :m] + 1j * einv[..., m:, :m]).astype(theta.dtype)
+    else:
+        chol = jnp.linalg.cholesky(theta)
+        diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
+        logdet = 2.0 * jnp.log(diag).sum((-1, -2))
+        eye = jnp.eye(m, dtype=theta.dtype)
+        linv = jax.scipy.linalg.solve_triangular(
+            chol, jnp.broadcast_to(eye, chol.shape), lower=True)
+        inv = jnp.swapaxes(linv, -1, -2) @ linv
     return FastFactor(lam_eff=None, inv=inv, logdet=logdet,
                       n_sorted=tuple(n_sorted), task_order=tuple(task_order),
                       inv_task_order=tuple(inv_task_order))

@@ -156,7 +156,7 @@ class AbstractGP:
         self._xb_cache = [None] * num_tasks  # numpy binary/int or alias of float
         self._version = 0  # bumped on any parameter change
         self._coeffs_cache = None  # (version, n_tuple) -> coeffs
-        self._factor_cache = {}
+        self._post_jit = {}        # jitted posterior-query executables
 
     # ------------------------------------------------------------------
     # parameter access
@@ -332,10 +332,14 @@ class AbstractGP:
         r"""Coefficients $K^{-1} y$ (reference util.py:396-425)."""
         key = (self._version, tuple(self.n.tolist()))
         if self._coeffs_cache is None or self._coeffs_cache[0] != key:
-            ycat = jnp.concatenate(
-                [jnp.broadcast_to(self._y[l], self.shape_batch + (self._y[l].shape[-1],))
-                 for l in range(self.num_tasks)], -1)
-            coeffs = self._solver().gram_matrix_solve(ycat)
+            self._warm_for_query(self.n)
+
+            def build():
+                def impl(raw):
+                    return self._query_solver_any(raw, self.n).coeffs()
+                return impl
+
+            coeffs = self._get_query_fn(("coeffs",), build)(self._raw_dict())
             self._coeffs_cache = (key, coeffs)
         return self._coeffs_cache[1]
 
@@ -351,10 +355,39 @@ class AbstractGP:
         assert n.shape == (self.num_tasks,) and (n >= self.n).all()
         return n
 
-    def _cross_kmat(self, x, task, n):
+    # -- jitted query machinery -----------------------------------------
+    # Posterior queries compile to one executable per (version, n, task,
+    # shape) signature; eager per-op dispatch is pathologically slow on
+    # remote-compile TPU backends.  Hyperparameters enter as traced args
+    # (`raw`), points/observations as embedded constants.
+    def _get_query_fn(self, subkey, build):
+        key = (self._version, tuple(self.n.tolist())) + subkey
+        fn = self._post_jit.get(key)
+        if fn is None:
+            fn = jax.jit(build())
+            self._post_jit[key] = fn
+            while len(self._post_jit) > 32:
+                self._post_jit.pop(next(iter(self._post_jit)))
+        return fn
+
+    def _query_solver_any(self, raw, n):
+        """Fresh solver for sample counts ``n`` from explicit raw params
+        (trace-safe; provided by concrete models)."""
+        raise NotImplementedError
+
+    def _warm_for_query(self, n):
+        """Materialize host caches so jit traces only see constants."""
+        for l in range(self.num_tasks):
+            self._get_xxb(l, int(n[l]))
+        self._warm_for_fit()
+        self._warm_extra(n)
+
+    def _warm_extra(self, n):
+        pass
+
+    def _cross_kmat(self, x, task, n, params, kmat_tasks):
         """(..., T, N, sum n_l) cross-covariance against the training set."""
-        kmat_tasks = self.gram_matrix_tasks
-        scale, ls = self.scale, self.lengthscales
+        scale, ls = params["scale"], params["lengthscales"]
         rows = []
         for t in task:
             cols = []
@@ -372,12 +405,23 @@ class AbstractGP:
         """Posterior mean (reference abstract_gp.py:352-380)."""
         x = jnp.asarray(x, dtype=self.dtype)
         assert x.ndim == 2 and x.shape[1] == self.d
-        coeffs = self.coeffs
         if task is None:
             task = self.default_task
         task, inttask = _as_task_array(task, self.num_tasks)
-        kmat = self._cross_kmat(x, task, self.n)
-        pmean = jnp.einsum("...i,...i->...", kmat, coeffs[..., None, None, :])
+        self._warm_for_query(self.n)
+
+        def build():
+            def impl(raw, xq):
+                params = self._transformed(raw)
+                kmat_tasks = self._task_gram(raw)
+                solver = self._query_solver_any(raw, self.n)
+                coeffs = solver.coeffs()
+                kmat = self._cross_kmat(xq, task, self.n, params, kmat_tasks)
+                return jnp.einsum("...i,...i->...", kmat, coeffs[..., None, None, :])
+            return impl
+
+        pmean = self._get_query_fn(("mean", tuple(task.tolist()), x.shape[0]), build)(
+            self._raw_dict(), x)
         return pmean[..., 0, :] if inttask else pmean
 
     def post_var(self, x, task=None, n=None):
@@ -385,20 +429,30 @@ class AbstractGP:
         x = jnp.asarray(x, dtype=self.dtype)
         assert x.ndim == 2 and x.shape[1] == self.d
         n = self._norm_n(n)
-        kmat_tasks = self.gram_matrix_tasks
-        scale, ls = self.scale, self.lengthscales
         if task is None:
             task = self.default_task
         task, inttask = _as_task_array(task, self.num_tasks)
-        prior = jnp.stack([
-            kmat_tasks[..., t, t, None] * self._kernel_explicit(
-                x, x, self.derivatives[t], self.derivatives[t],
-                self.derivatives_coeffs[t], self.derivatives_coeffs[t], scale, ls)
-            for t in task], -2)
-        kmat = self._cross_kmat(x, task, n)
-        t_sol = self._solver(n).gram_matrix_solve(kmat, extra_ndim=2)
-        diag = prior - (t_sol * kmat).sum(-1)
-        diag = jnp.maximum(diag, 0.0)
+        self._warm_for_query(n)
+
+        def build():
+            def impl(raw, xq):
+                params = self._transformed(raw)
+                kmat_tasks = self._task_gram(raw)
+                scale, ls = params["scale"], params["lengthscales"]
+                prior = jnp.stack([
+                    kmat_tasks[..., t, t, None] * self._kernel_explicit(
+                        xq, xq, self.derivatives[t], self.derivatives[t],
+                        self.derivatives_coeffs[t], self.derivatives_coeffs[t], scale, ls)
+                    for t in task], -2)
+                kmat = self._cross_kmat(xq, task, n, params, kmat_tasks)
+                t_sol = self._query_solver_any(raw, n).gram_matrix_solve(kmat, extra_ndim=2)
+                diag = prior - (t_sol * kmat).sum(-1)
+                return jnp.maximum(diag, 0.0)
+            return impl
+
+        diag = self._get_query_fn(
+            ("var", tuple(task.tolist()), x.shape[0], tuple(n.tolist())), build)(
+            self._raw_dict(), x)
         return diag[..., 0, :] if inttask else diag
 
     def post_cov(self, x0, x1, task0=None, task1=None, n=None):
@@ -408,8 +462,6 @@ class AbstractGP:
         assert x0.ndim == 2 and x0.shape[1] == self.d
         assert x1.ndim == 2 and x1.shape[1] == self.d
         n = self._norm_n(n)
-        kmat_tasks = self.gram_matrix_tasks
-        scale, ls = self.scale, self.lengthscales
         if task0 is None:
             task0 = self.default_task
         if task1 is None:
@@ -417,22 +469,36 @@ class AbstractGP:
         task0, inttask0 = _as_task_array(task0, self.num_tasks)
         task1, inttask1 = _as_task_array(task1, self.num_tasks)
         equal = x0.shape == x1.shape and bool(jnp.all(x0 == x1)) and np.array_equal(task0, task1)
-        prior = jnp.stack([jnp.stack([
-            kmat_tasks[..., t0, t1, None, None] * self._kernel_explicit(
-                x0[:, None, :], x1[None, :, :], self.derivatives[t0], self.derivatives[t1],
-                self.derivatives_coeffs[t0], self.derivatives_coeffs[t1], scale, ls)
-            for t1 in task1], -3) for t0 in task0], -4)
-        kmat1 = self._cross_kmat(x0, task0, n)
-        kmat2 = kmat1 if equal else self._cross_kmat(x1, task1, n)
-        t_sol = self._solver(n).gram_matrix_solve(kmat2, extra_ndim=2)
-        pcov = prior - jnp.einsum("...ani,...bmi->...abnm",
-                                  kmat1, t_sol)
-        if equal:
-            tvec = np.arange(pcov.shape[-3])
-            nvec = np.arange(x0.shape[0])
-            diag = pcov[..., tvec[:, None], tvec[:, None], nvec[None, :], nvec[None, :]]
-            diag = jnp.maximum(diag, 0.0)
-            pcov = pcov.at[..., tvec[:, None], tvec[:, None], nvec[None, :], nvec[None, :]].set(diag)
+        self._warm_for_query(n)
+
+        def build():
+            def impl(raw, xq0, xq1):
+                params = self._transformed(raw)
+                kmat_tasks = self._task_gram(raw)
+                scale, ls = params["scale"], params["lengthscales"]
+                prior = jnp.stack([jnp.stack([
+                    kmat_tasks[..., t0, t1, None, None] * self._kernel_explicit(
+                        xq0[:, None, :], xq1[None, :, :], self.derivatives[t0], self.derivatives[t1],
+                        self.derivatives_coeffs[t0], self.derivatives_coeffs[t1], scale, ls)
+                    for t1 in task1], -3) for t0 in task0], -4)
+                kmat1 = self._cross_kmat(xq0, task0, n, params, kmat_tasks)
+                kmat2 = kmat1 if equal else self._cross_kmat(xq1, task1, n, params, kmat_tasks)
+                t_sol = self._query_solver_any(raw, n).gram_matrix_solve(kmat2, extra_ndim=2)
+                pcov = prior - jnp.einsum("...ani,...bmi->...abnm", kmat1, t_sol)
+                if equal:
+                    tvec = np.arange(pcov.shape[-3])
+                    nvec = np.arange(xq0.shape[0])
+                    dg = pcov[..., tvec[:, None], tvec[:, None], nvec[None, :], nvec[None, :]]
+                    dg = jnp.maximum(dg, 0.0)
+                    pcov = pcov.at[..., tvec[:, None], tvec[:, None],
+                                   nvec[None, :], nvec[None, :]].set(dg)
+                return pcov
+            return impl
+
+        pcov = self._get_query_fn(
+            ("cov", tuple(task0.tolist()), tuple(task1.tolist()),
+             x0.shape[0], x1.shape[0], equal, tuple(n.tolist())), build)(
+            self._raw_dict(), x0, x1)
         if inttask0 and inttask1:
             return pcov[..., 0, 0, :, :]
         if inttask0:
@@ -605,7 +671,7 @@ class AbstractGP:
                 norm_term, logdet = solver.norm_logdet_terms()
                 if masks is None:
                     term1 = norm_term.sum()
-                    term2 = d_out / np.prod(logdet.shape) * logdet.sum()
+                    term2 = d_out / float(np.prod(logdet.shape)) * logdet.sum()
                 else:
                     nt = norm_term[(Ellipsis, *masks, 0)]
                     ld = jnp.broadcast_to(logdet, self.shape_batch + (1,))[(Ellipsis, *masks, 0)]

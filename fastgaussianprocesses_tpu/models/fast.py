@@ -237,6 +237,10 @@ class AbstractFastGP(AbstractGP):
         for l in range(self.num_tasks):
             self._get_ytilde(l, int(self.n[l]))
 
+    def _warm_extra(self, n):
+        # future-n queries need first-column caches at the projected sizes
+        self._warm_k1parts(np.asarray(n, dtype=np.int64))
+
     def _fit_data(self):
         """(k1parts, ytildes) pytree handed to the jitted loss as arguments."""
         task_order, _ = fs.sort_tasks(self.n)
@@ -252,6 +256,9 @@ class AbstractFastGP(AbstractGP):
 
     def _solver_pure(self, raw, data=None):
         return _FastSolver(self, raw, self.n, data=data)
+
+    def _query_solver_any(self, raw, n):
+        return _FastSolver(self, raw, np.asarray(n, dtype=np.int64))
 
     # -- data ingestion guards (abstract_fast_gp.py:32-40) ---------------
     def get_x_next(self, n, task=None):

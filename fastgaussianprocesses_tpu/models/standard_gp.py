@@ -205,6 +205,9 @@ class StandardGP(AbstractGP):
     def _solver_pure(self, raw, data=None):
         return _StandardSolver(self, raw, self.n)
 
+    def _query_solver_any(self, raw, n):
+        return _StandardSolver(self, raw, np.asarray(n, dtype=np.int64))
+
     def _on_data_change(self):
         self._solver_cache.clear()
 
