@@ -209,7 +209,6 @@ def sample_gp_hyperposterior(model, num_samples=500, num_warmup=500,
     dict.  Works for any model exposing the solver protocol (fast or dense).
     """
     model._warm_for_fit()
-    data = model._fit_data()
     d_out = int(np.prod(model.shape_batch)) if model.shape_batch else 1
     mll_const = d_out * float(model.n.sum()) * math.log(2 * math.pi)
     raw_full = model._raw_dict()
@@ -218,7 +217,7 @@ def sample_gp_hyperposterior(model, num_samples=500, num_warmup=500,
     def logprob(sampled):
         raw = dict(raw_full)
         raw.update(sampled)
-        solver = model._solver_pure(raw, data)
+        solver = model._solver_pure(raw)
         norm, logdet = solver.norm_logdet_terms()
         term2 = d_out / float(np.prod(logdet.shape)) * logdet.sum()
         nll = 0.5 * (norm.sum() + term2 + mll_const)

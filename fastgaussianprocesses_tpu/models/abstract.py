@@ -10,14 +10,13 @@ API parity target: fastgps ``AbstractGP`` (reference abstract_gp.py:12-706).
 """
 
 import math
-from typing import List, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..fit.rprop import rprop_init, rprop_update
-from .params import IDENTITY, LOG_EXP, Param, make_param
+from .params import IDENTITY, LOG_EXP, make_param
 
 
 def _as_task_array(task, num_tasks):
@@ -111,7 +110,6 @@ class AbstractGP:
         # parameters (shape/transform rules mirror abstract_gp.py:78-139)
         if shape_lengthscales is None:
             shape_lengthscales = (self.d,)
-        assert tuple(np.shape(scale))[-1:] in ((), (1,)) or True
         if shape_factor_task_kernel is None:
             if rank_factor_task_kernel is None:
                 rank_factor_task_kernel = 0 if num_tasks == 1 else 1

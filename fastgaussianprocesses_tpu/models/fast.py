@@ -8,8 +8,6 @@ AbstractFastGP + _FastInverseLogDetCache (abstract_fast_gp.py, util.py:269-425)
 re-architected as pure batched JAX.
 """
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -84,7 +82,8 @@ class _FastSolver:
     def _ytildes(self):
         if self._data is not None:
             return list(self._data[1])
-        return [self.model._get_ytilde(l, int(self.n[l])) for l in range(self.model.num_tasks)]
+        return [self.model._get_ytilde_traced(l, int(self.n[l]))
+                for l in range(self.model.num_tasks)]
 
     def norm_logdet_terms(self):
         """MLL quadratic and log-det terms in tilde space (util.py:364-370)."""
@@ -136,6 +135,7 @@ class AbstractFastGP(AbstractGP):
         self._ytilde_cache = {}    # (task, n) -> device array
         self._solver_cache = {}    # (version, n-tuple) -> _FastSolver
         self._kernel_parts_jit = {}
+        self._ytilde_parts_cache = {}
         self._ft_jit = jax.jit(self._ft)
 
     # -- concrete-model hooks -------------------------------------------
@@ -195,14 +195,39 @@ class AbstractFastGP(AbstractGP):
         if key not in self._ytilde_cache:
             y = self._y[task]
             assert y.shape[-1] == n
-            self._ytilde_cache[key] = self._ft_jit(y) if n > 1 else y.astype(self._ftout_dtype())
+            yt = self._ft_jit(y) if n > 1 else y.astype(self._ftout_dtype())
+            self._ytilde_cache[key] = yt
+            if jnp.iscomplexobj(yt):
+                # eager split so jit traces consume REAL constants only
+                # (complex constants need a device->host transfer at lowering
+                # time, unimplemented on some TPU backends)
+                self._ytilde_parts_cache[key] = (jnp.real(yt), jnp.imag(yt))
         return self._ytilde_cache[key]
+
+    def _get_ytilde_traced(self, task, n):
+        """ytilde for use INSIDE jit traces.
+
+        Complex closure constants force a device->host transfer during
+        lowering, which some TPU backends cannot do for complex64; cache the
+        real/imag parts separately (real constants transfer fine) and
+        recombine in-trace.
+        """
+        key = (task, n)
+        parts = self._ytilde_parts_cache.get(key)
+        if parts is None:
+            yt = self._get_ytilde(task, n)
+            if not jnp.iscomplexobj(yt):
+                return yt
+            parts = self._ytilde_parts_cache[key]
+        re, im = parts
+        return (re + 1j * im).astype(self._ftout_dtype())
 
     def _ftout_dtype(self):
         raise NotImplementedError
 
     def _on_data_change(self):
         self._ytilde_cache.clear()
+        self._ytilde_parts_cache.clear()
         self._solver_cache.clear()
 
     # -- solver ----------------------------------------------------------

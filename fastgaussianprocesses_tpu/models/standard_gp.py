@@ -5,8 +5,6 @@ semantic oracle for the fast models.  API parity target: fastgps.StandardGP
 (standard_gp.py:11-438).
 """
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
