@@ -147,3 +147,28 @@ def kernel_from_parts(parts, beta0: np.ndarray, beta1: np.ndarray, c0, c1, scale
     c0 = jnp.asarray(c0, dtype=parts.dtype)
     c1 = jnp.asarray(c1, dtype=parts.dtype)
     return jnp.sum(jnp.sum(terms * c1, axis=-1) * c0, axis=-1)
+
+
+def kernel_from_parts_t(parts_t, beta0: np.ndarray, beta1: np.ndarray, c0, c1, scale, lengthscales):
+    """:func:`kernel_from_parts` for the TPU-layout parts ``(p0, p1, d, n)``.
+
+    The hot fit loop stores first-column series terms with the long point
+    axis n LAST (vector lanes) and the short dimension axis d second-to-last
+    (sublanes): ``(n, p0, p1, d)`` wastes 15/16 of the lanes when d < 128 and
+    made the contraction the dominant HBM cost of an MLL step at n = 2^20.
+
+    Args:
+        parts_t: (p0, p1, d, n).
+        scale: (*batch, 1); lengthscales: (*batch, d) or (*batch, 1).
+
+    Returns:
+        (*batch_broadcast, n) kernel first-column values.
+    """
+    ind = jnp.asarray((np.asarray(beta0)[:, None, :] + np.asarray(beta1)[None, :, :]) == 0,
+                      dtype=parts_t.dtype)                       # (p0, p1, d)
+    ls_r = lengthscales[..., None, None, :, None]                # (*b,1,1,d|1,1)
+    terms = jnp.prod(ind[..., None] + ls_r * parts_t, axis=-2)   # (*b,p0,p1,n)
+    c0 = jnp.asarray(c0, dtype=parts_t.dtype)
+    c1 = jnp.asarray(c1, dtype=parts_t.dtype)
+    out = jnp.sum(jnp.sum(terms * c1[:, None], axis=-2) * c0[:, None], axis=-2)
+    return scale * out

@@ -50,7 +50,7 @@ class _FastSolver:
                 else:
                     k1p = model._get_k1parts_lam(a, b, nlen)
                 pair_idx += 1
-                k1 = series.kernel_from_parts(
+                k1 = series.kernel_from_parts_t(
                     k1p, model.derivatives[a], model.derivatives[b],
                     model.derivatives_coeffs[a], model.derivatives_coeffs[b],
                     scale, ls)
@@ -132,6 +132,7 @@ class AbstractFastGP(AbstractGP):
         self.alpha = np.asarray(alpha, dtype=np.int64)
         assert self.alpha.shape == (self.d,)
         self._k1parts_cache = {}   # (l0, l1) -> device array (n, p0, p1, d)
+        self._k1parts_lam_cache = {}  # (l0, l1, n) -> (p0, p1, d, n) TPU layout
         self._ytilde_cache = {}    # (task, n) -> device array
         self._solver_cache = {}    # (version, n-tuple) -> _FastSolver
         self._kernel_parts_jit = {}
@@ -178,12 +179,22 @@ class AbstractFastGP(AbstractGP):
         return jnp.asarray(xb)
 
     def _get_k1parts_lam(self, l0, l1, n):
-        """First-column parts in the layout consumed by ``_ft_lam``.
+        """First-column parts in the TPU layout consumed by the solver.
 
-        Default: the natural-order cache.  The lattice model overrides this
-        with a bit-reverse-permuted per-n cache so the hot loop's transform
-        is a plain FFT with no gather (TPU gathers cost ~100x the FFT)."""
-        return self._get_k1parts(l0, l1, n)
+        Shape (p0, p1, d, n): the long point axis LAST so it fills vector
+        lanes (see series.kernel_from_parts_t).  The lattice model overrides
+        this with a bit-reverse-permuted per-n cache so the hot loop's
+        transform is a plain FFT with no gather (TPU gathers cost ~100x the
+        FFT)."""
+        key = (l0, l1, int(n))
+        cached = self._k1parts_lam_cache.get(key)
+        if cached is None:
+            cached = jnp.moveaxis(self._get_k1parts(l0, l1, n), 0, -1)
+            cached = jax.device_put(cached)  # materialize once, outside traces
+            self._k1parts_lam_cache[key] = cached
+            if len(self._k1parts_lam_cache) > 24:
+                self._k1parts_lam_cache.pop(next(iter(self._k1parts_lam_cache)))
+        return cached
 
     def _ft_lam(self, k1):
         """Transform applied to first columns inside the solver."""

@@ -5,8 +5,9 @@ O(n log n) train/posterior via the orthonormal bit-reversed FFT.
 API parity target: fastgps.FastGPLattice (fast_gp_lattice.py:7-273).
 """
 
-import numpy as np
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..kernels import series
 from ..ops import transforms as tr
@@ -66,11 +67,13 @@ class FastGPLattice(AbstractFastGP):
     _char_kind = "fourier"
 
     def _get_k1parts_lam(self, l0, l1, n):
-        """Bit-reverse-permuted first-column parts, cached per (pair, n).
+        """Bit-reverse-permuted first-column parts in TPU layout (p0,p1,d,n).
 
         Permuting the hyperparameter-free parts once lets ``_ft_lam`` be a
         plain FFT: the O(n) gather (and its scatter transpose in the
-        backward pass) disappears from every fit step.
+        backward pass) disappears from every fit step.  The point axis goes
+        LAST so the per-step contraction fills vector lanes
+        (series.kernel_from_parts_t).
         """
         key = (l0, l1, int(n))
         cached = self._k1parts_br_cache.get(key)
@@ -78,7 +81,9 @@ class FastGPLattice(AbstractFastGP):
             from ..ops.bitops import bit_reverse_permutation, log2_int
             parts = self._get_k1parts(l0, l1, n)
             perm = bit_reverse_permutation(log2_int(int(n)))
-            cached = jnp.take(parts, jnp.asarray(perm.astype(np.int32)), axis=0)
+            cached = jnp.take(jnp.moveaxis(parts, 0, -1),
+                              jnp.asarray(perm.astype(np.int32)), axis=-1)
+            cached = jax.device_put(cached)
             self._k1parts_br_cache[key] = cached
             if len(self._k1parts_br_cache) > 24:
                 self._k1parts_br_cache.pop(next(iter(self._k1parts_br_cache)))
