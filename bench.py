@@ -27,9 +27,9 @@ def main():
     n, d = 1 << 20, 8
     dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
     fgp = FastGPLattice(d, seed_for_seq=7, dtype=dtype, alpha=2)
-    x = np.asarray(fgp.get_x_next(n))
+    x = fgp.get_x_next_host(n)
     y = np.sin(2 * np.pi * x[:, 0]) * np.cos(2 * np.pi * x[:, 1]) + x.sum(1)
-    fgp.add_y_next(jnp.asarray(y, dtype=dtype))
+    fgp.add_y_next(np.asarray(y, dtype=dtype))
 
     mll_const = float(n) * np.log(2 * np.pi)
     loss_and_grad = fgp._make_loss_fn("MLL", None, 1, mll_const, 1)

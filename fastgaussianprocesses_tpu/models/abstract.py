@@ -234,13 +234,17 @@ class AbstractGP:
     def get_x(self, task: int, n=None):
         if n is None:
             n = self.n[task]
-        return jnp.asarray(self._get_xxb(task, int(n))[0], dtype=self.dtype)
+        # cast in numpy BEFORE the device transfer: a jnp-side dtype cast is
+        # an eager compiled program (very slow through the TPU remote relay)
+        return jnp.asarray(np.asarray(self._get_xxb(task, int(n))[0], dtype=self.dtype))
 
     def get_xb(self, task: int, n=None):
         if n is None:
             n = self.n[task]
         xb = self._get_xxb(task, int(n))[1]
-        return jnp.asarray(xb) if not np.issubdtype(xb.dtype, np.floating) else jnp.asarray(xb, dtype=self.dtype)
+        if np.issubdtype(xb.dtype, np.floating):
+            xb = np.asarray(xb, dtype=self.dtype)
+        return jnp.asarray(xb)
 
     @property
     def x(self):
@@ -261,7 +265,27 @@ class AbstractGP:
         task, inttask = _as_task_array(task, self.num_tasks)
         assert n.shape == task.shape
         assert (n >= self.n[task]).all(), "n must be >= current sample counts"
-        xs = [jnp.asarray(self._get_xxb(int(l), int(n[i]))[0][self.n[l]:], dtype=self.dtype)
+        xs = [jnp.asarray(np.asarray(self._get_xxb(int(l), int(n[i]))[0][self.n[l]:],
+                                     dtype=self.dtype))
+              for i, l in enumerate(task)]
+        return xs[0] if inttask else xs
+
+    def get_x_next_host(self, n, task=None):
+        """``get_x_next`` returning host numpy arrays (no device transfer).
+
+        Points are generated host-side (numpy / native C++); use this when
+        evaluating the objective on the host to skip the device round-trip
+        (device readback is slow over remote-relay TPU links).
+        """
+        if isinstance(n, (int, np.integer)):
+            n = [int(n)]
+        n = np.asarray(n, dtype=np.int64)
+        if task is None:
+            task = self.default_task
+        task, inttask = _as_task_array(task, self.num_tasks)
+        assert n.shape == task.shape
+        assert (n >= self.n[task]).all(), "n must be >= current sample counts"
+        xs = [np.asarray(self._get_xxb(int(l), int(n[i]))[0][self.n[l]:])
               for i, l in enumerate(task)]
         return xs[0] if inttask else xs
 
@@ -274,10 +298,13 @@ class AbstractGP:
         task, _ = _as_task_array(task, self.num_tasks)
         assert len(y_next) == len(task)
         for i, l in enumerate(task):
-            yi = jnp.asarray(y_next[i], dtype=self.dtype)
+            # host-side cast + concat: eager device ops go through the TPU
+            # remote-compile relay, so keep ingestion numpy until one transfer
+            yi = np.asarray(y_next[i], dtype=self.dtype)
             assert yi.shape[:-1] == self.shape_batch, (
                 f"y batch shape {yi.shape[:-1]} != shape_batch {self.shape_batch}")
-            self._y[l] = jnp.concatenate([self._y[l], yi], -1)
+            old = np.asarray(self._y[l], dtype=self.dtype)
+            self._y[l] = jnp.asarray(np.concatenate([old, yi], -1))
         self.n = np.array([self._y[l].shape[-1] for l in range(self.num_tasks)], dtype=np.int64)
         self._coeffs_cache = None
         self._on_data_change()
