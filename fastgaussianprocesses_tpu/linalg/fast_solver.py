@@ -88,6 +88,20 @@ def effective_lams(lam_pairs: dict, n_sorted, kmat_tasks, noise, task_order,
     for (l0, l1), lam in scaled.items():
         s = kmat_tasks[..., task_order[l0], task_order[l1]][..., None]
         out[(l0, l1)] = lam * s
+    # dtype-relative eigenvalue floor: the transform computes each lam entry
+    # with ABSOLUTE error ~eps * max|lam|, so eigenvalues below that level are
+    # numerical noise (possibly negative) and, with near-zero `noise`, the
+    # eigen-space solve amplifies them catastrophically.  Flooring diagonal
+    # pairs at c*eps*max|lam| makes the solve well-posed in the working
+    # precision: invisible in float64 (c*eps ~ 2e-15 relative), and the
+    # documented f32 accuracy plateau on TPU (~1e-6 relative nugget).  The
+    # reference never faces this because it mandates float64
+    # (abstract_gp.py:46); this floor is what makes f32 TPU execution viable.
+    for l in range(T):
+        lam_ll = out[(l, l)]
+        eps = jnp.finfo(jnp.abs(lam_ll).dtype).eps
+        floor = 8.0 * eps * jnp.max(jnp.abs(lam_ll), axis=-1, keepdims=True)
+        out[(l, l)] = lam_ll + floor
     return out
 
 

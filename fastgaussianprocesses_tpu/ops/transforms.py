@@ -152,8 +152,14 @@ def ift_stable_lattice(x: jax.Array) -> jax.Array:
 
 
 def ft_stable_fwht(x: jax.Array) -> jax.Array:
-    """Mean-centered orthonormal FWHT (self-inverse)."""
-    return _stabilize(fwht, x)
+    """Mean-centered orthonormal FWHT (self-inverse).
+
+    Dispatches to the fused Pallas kernel on TPU at supported sizes
+    (ops/pallas_fwht.fwht_best), the XLA contraction path otherwise.
+    """
+    from .pallas_fwht import fwht_best  # lazy: avoids circular import
+
+    return _stabilize(fwht_best, x)
 
 
 def get_omega_lattice(m: int, dtype=jnp.complex128) -> jax.Array:

@@ -56,6 +56,32 @@ void sobol_natural(const uint32_t* cols, int d, int m_max,
     delete[] state;
 }
 
+// uint64 variant for t > 30 bit precision (t <= 53 keeps float64 exact).
+void sobol_natural64(const uint64_t* cols, int d, int m_max,
+                     uint64_t n_min, uint64_t n_max, const uint64_t* shift,
+                     uint64_t* out) {
+    uint64_t* state = new uint64_t[d];
+    for (int j = 0; j < d; ++j) state[j] = 0;
+    uint64_t i = n_min;
+    for (int b = 0; b < m_max; ++b) {
+        if ((i >> b) & 1ull) {
+            for (int j = 0; j < d; ++j) state[j] ^= cols[(size_t)j * m_max + b];
+        }
+    }
+    for (; i < n_max; ++i) {
+        uint64_t* row = out + (size_t)(i - n_min) * d;
+        for (int j = 0; j < d; ++j) row[j] = state[j] ^ shift[j];
+        uint64_t ip = i + 1;
+        uint64_t changed = i ^ ip;
+        for (int b = 0; changed >> b; ++b) {
+            if ((changed >> b) & 1ull) {
+                for (int j = 0; j < d; ++j) state[j] ^= cols[(size_t)j * m_max + b];
+            }
+        }
+    }
+    delete[] state;
+}
+
 // Rank-1 lattice, natural (van der Corput) order with shift:
 // out[i - n_min][j] = frac(vdc(i) * g[j] + shift[j]).
 void lattice_natural(const uint64_t* gen_vec, int d,

@@ -60,7 +60,7 @@ def _lms_scramble(columns: np.ndarray, rng, t: int) -> np.ndarray:
                 p >>= 1
                 if not p.any():
                     break
-            out[j] |= (count.astype(np.uint32) << (t - 1 - r)).astype(np.uint32)
+            out[j] |= (count.astype(out.dtype) << np.asarray(t - 1 - r, dtype=out.dtype)).astype(out.dtype)
     return out
 
 
@@ -71,7 +71,13 @@ class DigitalNetB2:
         dimension: number of coordinates (<= packaged table size).
         seed: PRNG seed for the randomization.
         randomize: one of "DS", "LMS", "LMS_DS", "FALSE".
-        t: output bit precision (defaults to the table's 30 bits).
+        t: output bit precision in [30, 53] (default 30, the table's native
+            precision).  For t > 30 the generating-matrix columns are
+            left-shifted (the Sobol' matrices are upper-triangular, so rows
+            beyond the table's 30 carry information only through the digital
+            shift / LMS randomization — same semantics as the reference's
+            t < 64, fast_gp_digital_net_b2.py:223).  53 keeps the float form
+            exact in float64.
     """
 
     order = "NATURAL"
@@ -84,20 +90,25 @@ class DigitalNetB2:
         randomize = str(randomize).upper()
         assert randomize in ("DS", "LMS", "LMS_DS", "FALSE"), randomize
         self.randomize = randomize
-        assert t == _T, "packaged direction numbers provide t=30 bits"
+        assert _T <= t <= 53, "t must be in [30, 53]"
         self.t = int(t)
         self.m_max = table.shape[1]
         rng = np.random.default_rng(seed)
-        cols = table[: self.d].copy()  # (d, m_max)
+        if self.t == _T:
+            cols = table[: self.d].copy()  # (d, m_max) uint32
+        else:
+            cols = table[: self.d].astype(np.uint64) << (self.t - _T)
         if "LMS" in randomize:
             cols = _lms_scramble(cols, rng, self.t)
         self.columns = cols
+        idtype = np.uint32 if self.t == _T else np.uint64
         if "DS" in randomize:
-            self.shift = rng.integers(0, 1 << self.t, size=self.d, dtype=np.uint64).astype(np.uint32)
+            self.shift = rng.integers(0, 1 << self.t, size=self.d,
+                                      dtype=np.uint64).astype(idtype)
         else:
-            self.shift = np.zeros(self.d, dtype=np.uint32)
+            self.shift = np.zeros(self.d, dtype=idtype)
         # incrementally grown natural-order unshifted net (doubling construction)
-        self._xb = np.zeros((1, self.d), dtype=np.uint32)
+        self._xb = np.zeros((1, self.d), dtype=idtype)
 
     def _grow(self, n: int):
         while self._xb.shape[0] < n:
@@ -108,7 +119,10 @@ class DigitalNetB2:
         """Points with indices in [n_min, n_max); float in [0,1) or t-bit ints."""
         assert 0 <= n_min <= n_max <= (1 << self.m_max)
         from . import native
-        xb = native.sobol_natural(self.columns, int(n_min), int(n_max), self.shift)
+        if self.t == _T:
+            xb = native.sobol_natural(self.columns, int(n_min), int(n_max), self.shift)
+        else:
+            xb = native.sobol_natural64(self.columns, int(n_min), int(n_max), self.shift)
         if xb is None:
             self._grow(n_max)
             xb = self._xb[n_min:n_max] ^ self.shift[None, :]

@@ -37,6 +37,10 @@ def _load():
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_int,
             ctypes.c_uint64, ctypes.c_uint64,
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32)]
+        lib.sobol_natural64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64)]
         lib.lattice_natural.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
             ctypes.c_uint64, ctypes.c_uint64,
@@ -61,6 +65,23 @@ def sobol_natural(cols: np.ndarray, n_min: int, n_max: int, shift: np.ndarray):
         n_min, n_max,
         shift.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out
+
+
+def sobol_natural64(cols: np.ndarray, n_min: int, n_max: int, shift: np.ndarray):
+    """uint64 natural-order Sobol' block (t > 30 bits) via the native library."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sobol_natural64"):
+        return None
+    cols = np.ascontiguousarray(cols, dtype=np.uint64)
+    shift = np.ascontiguousarray(shift, dtype=np.uint64)
+    d, m_max = cols.shape
+    out = np.empty((n_max - n_min, d), dtype=np.uint64)
+    lib.sobol_natural64(
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), d, m_max,
+        n_min, n_max,
+        shift.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
     return out
 
 

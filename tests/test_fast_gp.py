@@ -178,3 +178,28 @@ def test_multitask_cubature_matches_dense(model_cls):
     y = np.concatenate([np.asarray(fgp._y[l]) for l in range(2)])
     want_mean = kint @ np.linalg.solve(K, y)
     np.testing.assert_allclose(float(fgp.post_cubature_mean(task=0)), want_mean, rtol=1e-8)
+
+
+def test_digital_net_t53_matches_dense():
+    """t = 53-bit digital net (uint64 columns/shift) passes the dense oracle
+    (reference allows t < 64, fast_gp_digital_net_b2.py:223)."""
+    seq = DigitalNetB2(2, seed=7, randomize="DS", t=53)
+    assert seq.t == 53 and seq.columns.dtype == np.uint64
+    xb = seq(0, 64, return_binary=True)
+    assert (xb < (1 << 53)).all() and (xb >> 30).any()  # low bits populated
+    fgp = FastGPDigitalNetB2(seq, noise=1e-4, alpha=2)
+    x = fgp.get_x_next(2**6)
+    fgp.add_y_next(jnp.asarray(f_ackley(x)))
+    K = dense_gram(fgp)
+    y = np.asarray(fgp.y)
+    np.testing.assert_allclose(np.asarray(fgp.coeffs), np.linalg.solve(K, y), atol=1e-6)
+    _, logdet = np.linalg.slogdet(K)
+    np.testing.assert_allclose(float(fgp._solver().factor.logdet), logdet, rtol=1e-8)
+    # LMS_DS randomization at t=53 also stays a valid digital net
+    seq2 = DigitalNetB2(2, seed=3, randomize="LMS_DS", t=53)
+    fgp2 = FastGPDigitalNetB2(seq2, noise=1e-4, alpha=2)
+    x2 = fgp2.get_x_next(2**6)
+    fgp2.add_y_next(jnp.asarray(f_ackley(x2)))
+    K2 = dense_gram(fgp2)
+    np.testing.assert_allclose(np.asarray(fgp2.coeffs),
+                               np.linalg.solve(K2, np.asarray(fgp2.y)), atol=1e-6)

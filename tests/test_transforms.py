@@ -88,3 +88,24 @@ def test_doubling_butterfly(kind):
     got = tr.merge_doubling(ft(jnp.asarray(v[:, :n])), ft(jnp.asarray(v[:, n:])), omega)
     want = ft(jnp.asarray(v))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-10)
+
+
+def test_pallas_fwht_matches_xla_paths():
+    """Fused + hybrid Pallas FWHT (interpreter mode) vs the XLA contraction
+    path, including the linear self-adjoint custom VJP."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fastgaussianprocesses_tpu.ops.pallas_fwht import fwht_pallas
+    from fastgaussianprocesses_tpu.ops.transforms import fwht
+
+    rng = np.random.default_rng(3)
+    for m, B in [(14, 1), (15, 3), (18, 1), (19, 2)]:
+        x = jnp.asarray(rng.standard_normal((B, 1 << m)), dtype=jnp.float32)
+        a = fwht_pallas(x, interpret=True)
+        b = fwht(x)
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-3 * float(jnp.max(jnp.abs(b)))
+    x = jnp.asarray(rng.standard_normal((2, 1 << 14)), dtype=jnp.float32)
+    g = jax.grad(lambda v: jnp.sum(fwht_pallas(v, True) ** 2))(x)
+    g2 = jax.grad(lambda v: jnp.sum(fwht(v) ** 2))(x)
+    assert float(jnp.max(jnp.abs(g - g2))) < 1e-3 * float(jnp.max(jnp.abs(g2)))
