@@ -70,6 +70,11 @@ def run_one(model_name, fname, f, d, n, iterations, use_grad, seed=7):
     else:
         derivs, num_tasks = None, None
     gp = make_gp(model_name, d, num_tasks, derivs, seed)
+    if model_name == "standard" and use_grad and d >= 6:
+        # the (d+1)-task dense system is n*(d+1) = 7168 wide; full-history
+        # fitting is hours on this 2-core CPU — cap iterations (noted in
+        # BASELINE_REPRO.md; accuracy is already converged well before this)
+        iterations = min(iterations, 25)
     gf = gradient(f_tf) if use_grad else None
     if use_grad:
         tasks = list(range(d + 1))

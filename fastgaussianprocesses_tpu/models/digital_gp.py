@@ -51,9 +51,13 @@ class FastGPDigitalNetB2(AbstractFastGP):
         return self.dtype
 
     def _ft(self, x):
+        if self._seq_mesh is not None:
+            from ..parallel import mesh as pm
+            return tr._stabilize(
+                lambda v: pm.sharded_fwht(v, self._seq_mesh, self._seq_axis), x)
         return tr.ft_stable_fwht(x)
 
-    _ift = _ft  # FWHT is self-inverse
+    _ift = _ft  # FWHT is self-inverse (dispatch inside covers both paths)
 
     def _sample(self, seq, n_min, n_max):
         xb = seq(n_min, n_max, return_binary=True).astype(np.int64)

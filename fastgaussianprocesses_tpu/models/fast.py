@@ -137,6 +137,32 @@ class AbstractFastGP(AbstractGP):
         self._solver_cache = {}    # (version, n-tuple) -> _FastSolver
         self._kernel_parts_jit = {}
         self._ytilde_parts_cache = {}
+        self._seq_mesh = None      # sequence-parallel mesh (None = single device)
+        self._seq_axis = "seq"
+        self._ft_jit = jax.jit(self._ft)
+
+    # -- sequence parallelism (SP over the transform axis n) --------------
+    def use_sequence_sharding(self, mesh, axis: str = "seq"):
+        """Shard the transform axis n over a mesh axis for all solves.
+
+        All fast transforms switch to the cross-shard factorized variants
+        (parallel/mesh.sharded_fftbr/fwht/ifftbr) and `_fit_data` places
+        k1parts/ytilde with the seq NamedSharding, so the whole MLL/GCV/CV
+        loss (and its gradients) runs SPMD with GSPMD-inserted collectives.
+        Single-task models only (the multitask residue factorization couples
+        frequencies across tasks).  Pass ``mesh=None`` to turn off.
+
+        Reference analog: none (single-device); this is the SURVEY section
+        2.4 sequence-parallel component.
+        """
+        assert mesh is None or self.num_tasks == 1, (
+            "sequence sharding currently supports single-task models")
+        self._seq_mesh = mesh
+        self._seq_axis = axis
+        # transforms changed: drop transform-dependent caches and re-jit
+        self._ytilde_cache.clear()
+        self._ytilde_parts_cache.clear()
+        self._solver_cache.clear()
         self._ft_jit = jax.jit(self._ft)
 
     # -- concrete-model hooks -------------------------------------------
@@ -288,6 +314,14 @@ class AbstractFastGP(AbstractGP):
                 nlen = int(self.n[task_order[l0]])
                 k1parts.append(self._get_k1parts_lam(min(to0, to1), max(to0, to1), nlen))
         ytildes = [self._get_ytilde(l, int(self.n[l])) for l in range(T)]
+        if self._seq_mesh is not None:
+            from ..parallel.mesh import seq_sharding_for
+            k1parts = [jax.device_put(p, seq_sharding_for(p.ndim, self._seq_mesh,
+                                                          self._seq_axis))
+                       for p in k1parts]
+            ytildes = [jax.device_put(y, seq_sharding_for(y.ndim, self._seq_mesh,
+                                                          self._seq_axis))
+                       for y in ytildes]
         return (tuple(k1parts), tuple(ytildes))
 
     def _solver_pure(self, raw, data=None):

@@ -50,9 +50,17 @@ class FastGPLattice(AbstractFastGP):
         return jnp.complex128 if self.dtype == jnp.float64 else jnp.complex64
 
     def _ft(self, x):
+        if self._seq_mesh is not None:
+            from ..parallel import mesh as pm
+            return tr._stabilize(
+                lambda v: pm.sharded_fftbr(v, self._seq_mesh, self._seq_axis), x)
         return tr.ft_stable_lattice(x)
 
     def _ift(self, x):
+        if self._seq_mesh is not None:
+            from ..parallel import mesh as pm
+            return tr._stabilize(
+                lambda v: pm.sharded_ifftbr(v, self._seq_mesh, self._seq_axis), x)
         return tr.ift_stable_lattice(x)
 
     def _ominus(self, a, b):
@@ -75,6 +83,10 @@ class FastGPLattice(AbstractFastGP):
         LAST so the per-step contraction fills vector lanes
         (series.kernel_from_parts_t).
         """
+        if self._seq_mesh is not None:
+            # sequence-sharded path keeps the NATURAL-order layout and lets
+            # sharded_fftbr fold the bit reversal into its index maps
+            return super()._get_k1parts_lam(l0, l1, n)
         key = (l0, l1, int(n))
         cached = self._k1parts_br_cache.get(key)
         if cached is None:
@@ -90,7 +102,11 @@ class FastGPLattice(AbstractFastGP):
         return cached
 
     def _ft_lam(self, k1):
-        """Mean-centered plain orthonormal FFT (input already bit-reversed)."""
+        """Mean-centered plain orthonormal FFT (input already bit-reversed);
+        under sequence sharding the input is natural-order and the sharded
+        bit-reversed FFT applies directly."""
+        if self._seq_mesh is not None:
+            return self._ft(k1)
         return tr.ft_stable_plain_fft(k1)
 
     def _point_class(self, task, n_l, r_l):

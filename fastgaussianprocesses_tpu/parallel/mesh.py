@@ -166,3 +166,38 @@ def sharded_fftbr(x, mesh: Mesh, axis: str = "seq"):
     # output frequency k_global = j * L + r lives at block j
     out = outer.reshape(x.shape)
     return jax.lax.with_sharding_constraint(out, spec)
+
+
+def sharded_ifftbr(x, mesh: Mesh, axis: str = "seq"):
+    """Inverse of :func:`sharded_fftbr` (same sharded layout in and out).
+
+    Runs the forward factorization backwards: cross-shard inverse DFT
+    (conjugate-transposed ``W`` matmul over the sharded axis), conjugate
+    twiddles, then per-shard length-L inverse bit-reversed FFTs.
+    """
+    from ..ops import transforms as tr
+    from ..ops.bitops import bit_reverse_permutation, log2_int as _l2
+
+    n = x.shape[-1]
+    D = mesh.shape[axis]
+    if D == 1 or n < 2 * D:
+        return tr.ifftbr(x)
+    L = n // D
+    spec = NamedSharding(mesh, P(*([None] * (x.ndim - 1) + [axis])))
+    xs = jax.lax.with_sharding_constraint(x, spec)
+    dlog = _l2(D)
+    rho_d = jnp.asarray(bit_reverse_permutation(dlog).astype(np.int32))
+    view = xs.reshape(x.shape[:-1] + (D, L))
+    r = jnp.arange(L)
+    j = jnp.arange(D)
+    w = jnp.exp(-2j * jnp.pi * (j[:, None] * rho_d[None, :]) / D).astype(view.dtype)
+    inner = jnp.einsum("ji,...jl->...il", jnp.conj(w), view) * (1.0 / np.sqrt(D))
+    tw = jnp.exp(-2j * jnp.pi * (rho_d[:, None] * r[None, :]) / n).astype(inner.dtype)
+    inner = inner * jnp.conj(tw)
+    out = tr.ifftbr(inner).reshape(x.shape)
+    return jax.lax.with_sharding_constraint(out, spec)
+
+
+def seq_sharding_for(x_ndim: int, mesh: Mesh, axis: str = "seq") -> NamedSharding:
+    """NamedSharding splitting the LAST axis of an ndim-``x_ndim`` array."""
+    return NamedSharding(mesh, P(*([None] * (x_ndim - 1) + [axis])))

@@ -75,3 +75,53 @@ def test_sharded_hmc_chains():
             chain_sharding=pm.batch_sharding(mesh, "chains"))
     assert np.isfinite(np.asarray(res.log_prob)).all()
     assert 0.0 < float(res.accept_rate) <= 1.0
+
+
+@pytest.mark.parametrize("model_name", ["lattice", "dnb2"])
+def test_sequence_sharded_mll_matches_unsharded(model_name):
+    """End-to-end n-sharded MLL loss + gradients == unsharded (VERDICT item 5):
+    k1parts and ytilde shard over the seq axis; transforms run the cross-shard
+    factorized variants; GSPMD inserts the collectives."""
+    import math
+    from fastgaussianprocesses_tpu import FastGPDigitalNetB2
+
+    mesh = _mesh({"seq": 8})
+    cls = FastGPLattice if model_name == "lattice" else FastGPDigitalNetB2
+    n, d = 1 << 12, 3
+    fgp = cls(d, seed_for_seq=7, alpha=2)
+    x = np.asarray(fgp.get_x_next(n))
+    fgp.add_y_next(jnp.asarray(np.sin(2 * np.pi * x[:, 0]) + x.sum(1)))
+
+    mll_const = float(fgp.n.sum()) * math.log(2 * math.pi)
+    # unsharded reference
+    lag = fgp._make_loss_fn("MLL", None, 1, mll_const, 1)
+    (loss_ref, _), grads_ref = lag(fgp._raw_dict(), fgp._fit_data())
+
+    with mesh:
+        fgp.use_sequence_sharding(mesh)
+        lag_s = fgp._make_loss_fn("MLL", None, 1, mll_const, 1)
+        data_s = fgp._fit_data()
+        # the big arrays really are sharded over seq
+        k1p0 = data_s[0][0]
+        assert len(k1p0.sharding.device_set) == 8, k1p0.sharding
+        (loss_s, _), grads_s = lag_s(fgp._raw_dict(), data_s)
+    fgp.use_sequence_sharding(None)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=1e-10)
+    for k in grads_ref:
+        np.testing.assert_allclose(np.asarray(grads_s[k]), np.asarray(grads_ref[k]),
+                                   rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_ifftbr_matches_unsharded():
+    mesh = _mesh({"seq": 8})
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 1 << 10)) + 1j * rng.normal(size=(2, 1 << 10)))
+    want = tr.ifftbr(x)
+    with mesh:
+        got = jax.jit(lambda v: pm.sharded_ifftbr(v, mesh))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-10)
+    # round trip through the sharded pair
+    with mesh:
+        rt = jax.jit(lambda v: pm.sharded_ifftbr(pm.sharded_fftbr(v, mesh), mesh))(x)
+    np.testing.assert_allclose(np.asarray(rt), np.asarray(x), atol=1e-10)
