@@ -70,11 +70,18 @@ def bench_fit_steps(gp, iters=30, reps=3):
 
 
 def make_lattice(n, d, num_tasks=None, seed=7):
-    from fastgaussianprocesses_tpu import FastGPLattice
+    from fastgaussianprocesses_tpu import FastGPLattice, LatticeSeq
 
     dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
-    gp = FastGPLattice(d, num_tasks=num_tasks, seed_for_seq=seed, dtype=dtype,
-                       alpha=2)
+    if n > (1 << 20):  # the m=24 CBC table covers up to 2^24 points
+        nt = 1 if num_tasks is None else num_tasks
+        seeds = np.random.SeedSequence(seed).spawn(nt)
+        seqs = [LatticeSeq(d, seed=s, m_max=24) for s in seeds]
+        gp = FastGPLattice(seqs if nt > 1 else seqs[0], num_tasks=num_tasks,
+                           dtype=dtype, alpha=2)
+    else:
+        gp = FastGPLattice(d, num_tasks=num_tasks, seed_for_seq=seed, dtype=dtype,
+                           alpha=2)
     if num_tasks is None:
         x = np.asarray(gp.get_x_next(n))
         y = np.sin(2 * np.pi * x[:, 0]) * np.cos(2 * np.pi * x[:, 1]) + x.sum(1)
@@ -139,6 +146,11 @@ def main():
     del gp
 
     try:
+        gp = make_lattice(1 << 22, 8)
+        matrix["lattice_mll_n2e22_d8"] = {"value": round(1.0 / bench_fit_steps(gp, iters=10), 3),
+                                          "unit": "steps/s"}
+        del gp
+
         gp = make_dnb2(1 << 20, 8)
         matrix["dnb2_mll_n2e20_d8"] = {"value": round(1.0 / bench_fit_steps(gp), 3),
                                        "unit": "steps/s"}

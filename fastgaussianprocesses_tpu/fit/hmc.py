@@ -229,6 +229,10 @@ def sample_gp_hyperposterior(model, num_samples=500, num_warmup=500,
                  chain_sharding=chain_sharding)
     diagnostics = {}
     for k, v in result.samples.items():
-        v0 = np.asarray(v).reshape(v.shape[0], v.shape[1], -1)[..., 0]
-        diagnostics[k] = {"rhat": split_rhat(v0), "ess": effective_sample_size(v0)}
+        flat = np.asarray(v).reshape(v.shape[0], v.shape[1], -1)
+        rhats = [split_rhat(flat[..., c]) for c in range(flat.shape[-1])]
+        esss = [effective_sample_size(flat[..., c]) for c in range(flat.shape[-1])]
+        # worst-case across ALL components (not just the first)
+        diagnostics[k] = {"rhat": float(np.max(rhats)), "ess": float(np.min(esss)),
+                          "rhat_per_component": rhats, "ess_per_component": esss}
     return result, diagnostics

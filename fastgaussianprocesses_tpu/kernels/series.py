@@ -59,6 +59,15 @@ def si_parts_from_delta(delta, alpha: np.ndarray, beta: np.ndarray, kappa: np.nd
     return jnp.stack(cols, axis=-1)
 
 
+def si_part_dim(delta_j, alpha_j: int, b: int, k: int):
+    """One dimension's SI series term (scalar orders; see si_parts_from_delta)."""
+    order = 2 * alpha_j - b - k
+    assert order >= 2, order
+    coeff = float((-1.0) ** (alpha_j + k + 1)) * math.exp(
+        2 * alpha_j * math.log(2 * math.pi) - math.lgamma(order + 1))
+    return coeff * bernoulli_poly(order, delta_j)
+
+
 def lattice_ominus(x, z):
     """Group difference on the torus: ``(x - z) mod 1`` (fast_gp_lattice.py:263)."""
     return (x - z) % 1.0
@@ -97,6 +106,16 @@ def dsi_parts_from_delta(delta_b, t: int, alpha: np.ndarray, beta: np.ndarray, k
     return jnp.stack(cols, axis=-1)
 
 
+def dsi_part_dim(delta_bj, t: int, alpha_j: int, b: int, k: int, dtype=jnp.float64):
+    """One dimension's DSI series term (scalar orders; see dsi_parts_from_delta)."""
+    bpk = b + k
+    order = alpha_j - bpk
+    assert 1 <= order <= 4, order
+    om = omega_walsh(delta_bj, t, order, dtype=dtype)
+    ind = 1.0 if bpk > 0 else 0.0
+    return float((-2.0) ** bpk) * (ind + om)
+
+
 def digital_ominus(xb, zb):
     """Group difference in base 2: bitwise XOR (fast_gp_digital_net_b2.py:274)."""
     return xb ^ zb
@@ -105,6 +124,44 @@ def digital_ominus(xb, zb):
 # ---------------------------------------------------------------------------
 # shared assembly
 # ---------------------------------------------------------------------------
+
+def kernel_fused(part_dim_fn, x_or_b, z_or_b, ominus, beta0: np.ndarray,
+                 beta1: np.ndarray, c0, c1, scale, lengthscales):
+    """Kernel values WITHOUT materializing the (..., p0, p1, d) parts tensor.
+
+    The cross-kernel at query time evaluates (N, n) pairs; stacking parts
+    over d (as the cacheable-parts path does) would materialize (N, n, d) —
+    550 GB at N = 2^14, n = 2^20, d = 8.  This variant accumulates the
+    product over dimensions with (..., ) = (N, n)-sized buffers only, which
+    XLA fuses into one elementwise kernel per dimension.
+
+    ``part_dim_fn(delta_j, j, b, k)``: the per-dimension series term.
+    Same math as kernel_parts + kernel_from_parts (reference
+    abstract_fast_gp.py:173-191); oracle-tested equal in tests.
+    """
+    delta = ominus(x_or_b, z_or_b)
+    d = delta.shape[-1]
+    p0, p1 = len(beta0), len(beta1)
+    c0 = np.asarray(c0, dtype=np.float64)
+    c1 = np.asarray(c1, dtype=np.float64)
+    ls = lengthscales + jnp.zeros((d,), dtype=scale.dtype)  # (*batch, d)
+    total = None
+    for i0 in range(p0):
+        for i1 in range(p1):
+            prod = None
+            for j in range(d):
+                part = part_dim_fn(delta[..., j], j, int(beta0[i0, j]), int(beta1[i1, j]))
+                ind = 1.0 if (beta0[i0, j] + beta1[i1, j]) == 0 else 0.0
+                lsj = ls[..., j]
+                lsj = lsj.reshape(lsj.shape + (1,) * (delta.ndim - 1))
+                term = ind + lsj * part
+                prod = term if prod is None else prod * term
+            w = float(c0[i0] * c1[i1])
+            contrib = prod if w == 1.0 else w * prod
+            total = contrib if total is None else total + contrib
+    scale_r = scale[..., 0].reshape(scale.shape[:-1] + (1,) * (delta.ndim - 1))
+    return scale_r * total
+
 
 def kernel_parts(parts_fn, x_or_b, z_or_b, ominus, beta0: np.ndarray, beta1: np.ndarray):
     """Stack series terms over derivative multi-index pairs.

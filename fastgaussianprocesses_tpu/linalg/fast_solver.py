@@ -137,30 +137,38 @@ def factorize(lams: dict, n_sorted, task_order, inv_task_order) -> FastFactor:
         rows.append(jnp.concatenate(cols, axis=-1))
     theta = jnp.concatenate(rows, axis=-2)  # (..., n_min, M, M)
     m = theta.shape[-1]
+    # relative ridge on the assembled block system: derivative cross-blocks
+    # make near-linearly-dependent rows, and with near-zero `noise` the
+    # factorization of the working-precision system loses accuracy.
+    # 8*eps*max|diag| is rounding-level regularization, mirroring the
+    # single-task eigenvalue floor in effective_lams.
+    dmag = jnp.abs(jnp.diagonal(theta, axis1=-2, axis2=-1).real)
+    eps = jnp.finfo(dmag.dtype).eps
+    ridge = 8.0 * eps * jnp.max(dmag, axis=-1)[..., None]
+    theta = theta + ridge[..., None] * jnp.eye(m, dtype=theta.dtype)
+    # Indefinite-tolerant factorization (LU inverse + log|det|): derivative-
+    # informed kernels are PSD only on part of hyperparameter space (e.g. the
+    # DSI (f, df) DC block [[1, -2g], [-2g, 4g]] has det 4g(1-g): indefinite
+    # for lengthscale g > 1), and the optimizer legitimately visits such
+    # points mid-fit.  The reference's recursive Schur inverse + log|lam|
+    # (util.py:299-323) tolerates this; a Cholesky would emit NaNs and kill
+    # the fit.  LU matches that semantics batched on the MXU.
     if jnp.iscomplexobj(theta):
-        # Real embedding of the Hermitian system: E(A) = [[Re, -Im], [Im, Re]]
-        # is symmetric PD with E(A)^-1 = E(A^-1) and logdet E = 2 logdet A.
-        # TPU backends lack complex Cholesky; this stays in native real f32.
+        # Real embedding E(A) = [[Re, -Im], [Im, Re]]: E(A)^-1 = E(A^-1) and
+        # det E = |det A|^2.  TPU backends lack complex LU; this stays in
+        # native real arithmetic.
         re, im = jnp.real(theta), jnp.imag(theta)
         emb = jnp.concatenate([
             jnp.concatenate([re, -im], -1),
             jnp.concatenate([im, re], -1)], -2)
-        chol = jnp.linalg.cholesky(emb)
-        diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
-        logdet = jnp.log(diag).sum((-1, -2))  # = (2 * logdet A) / 2 summed
-        eye = jnp.eye(2 * m, dtype=emb.dtype)
-        linv = jax.scipy.linalg.solve_triangular(
-            chol, jnp.broadcast_to(eye, chol.shape), lower=True)
-        einv = jnp.swapaxes(linv, -1, -2) @ linv
+        _, logabsdet = jnp.linalg.slogdet(emb)
+        logdet = 0.5 * logabsdet
+        einv = jnp.linalg.inv(emb)
         inv = (einv[..., :m, :m] + 1j * einv[..., m:, :m]).astype(theta.dtype)
     else:
-        chol = jnp.linalg.cholesky(theta)
-        diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
-        logdet = 2.0 * jnp.log(diag).sum((-1, -2))
-        eye = jnp.eye(m, dtype=theta.dtype)
-        linv = jax.scipy.linalg.solve_triangular(
-            chol, jnp.broadcast_to(eye, chol.shape), lower=True)
-        inv = jnp.swapaxes(linv, -1, -2) @ linv
+        _, logdet = jnp.linalg.slogdet(theta)
+        inv = jnp.linalg.inv(theta)
+    logdet = logdet.sum(-1)
     return FastFactor(lam_eff=None, inv=inv, logdet=logdet,
                       n_sorted=tuple(n_sorted), task_order=tuple(task_order),
                       inv_task_order=tuple(inv_task_order))

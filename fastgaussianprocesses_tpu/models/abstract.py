@@ -426,6 +426,41 @@ class AbstractGP:
             rows.append(jnp.concatenate(cols, -1)[..., None, :, :])
         return jnp.concatenate(rows, -3)
 
+    # Largest (query x train) cross-kernel block evaluated at once: bounds
+    # per-query-chunk device buffers to a few hundred MB at any n (the dense
+    # cross-kernel is the one O(N * n) surface in the API; reference hits
+    # the same wall at abstract_gp.py:375 but never chunks).
+    _QUERY_CHUNK_ELEMS = 1 << 26
+
+    def _query_chunk_size(self, N: int, total_n: int) -> int:
+        return int(max(1, min(N, self._QUERY_CHUNK_ELEMS // max(total_n, 1))))
+
+    def _run_chunked(self, fn, raw, x, N_axis=-1, total_n=None):
+        """Run a jitted per-chunk query over host-level query chunks.
+
+        Pads the last chunk so ONE executable serves every chunk, then slices
+        the padding off along ``N_axis`` of the result.
+        """
+        N = x.shape[0]
+        if total_n is None:
+            total_n = int(self.n.sum())
+        nb = self._query_chunk_size(N, total_n)
+        if nb >= N:
+            return fn(raw, x)
+        outs = []
+        for s in range(0, N, nb):
+            blk = x[s:s + nb]
+            valid = blk.shape[0]
+            if valid < nb:
+                blk = jnp.concatenate(
+                    [blk, jnp.zeros((nb - valid,) + blk.shape[1:], blk.dtype)], 0)
+            out = fn(raw, blk)
+            if valid < nb:
+                out = jax.lax.slice_in_dim(out, 0, valid, axis=out.ndim + N_axis
+                                           if N_axis < 0 else N_axis)
+            outs.append(out)
+        return jnp.concatenate(outs, axis=N_axis)
+
     def post_mean(self, x, task=None):
         """Posterior mean (reference abstract_gp.py:352-380)."""
         x = jnp.asarray(x, dtype=self.dtype)
@@ -445,8 +480,9 @@ class AbstractGP:
                 return jnp.einsum("...i,...i->...", kmat, coeffs[..., None, None, :])
             return impl
 
-        pmean = self._get_query_fn(("mean", tuple(task.tolist()), x.shape[0]), build)(
-            self._raw_dict(), x)
+        nb = self._query_chunk_size(x.shape[0], int(self.n.sum()))
+        fn = self._get_query_fn(("mean", tuple(task.tolist()), nb), build)
+        pmean = self._run_chunked(fn, self._raw_dict(), x, N_axis=-1)
         return pmean[..., 0, :] if inttask else pmean
 
     def post_var(self, x, task=None, n=None):
@@ -475,13 +511,21 @@ class AbstractGP:
                 return jnp.maximum(diag, 0.0)
             return impl
 
-        diag = self._get_query_fn(
-            ("var", tuple(task.tolist()), x.shape[0], tuple(n.tolist())), build)(
-            self._raw_dict(), x)
+        nb = self._query_chunk_size(x.shape[0], int(n.sum()))
+        fn = self._get_query_fn(("var", tuple(task.tolist()), nb, tuple(n.tolist())), build)
+        diag = self._run_chunked(fn, self._raw_dict(), x, N_axis=-1, total_n=int(n.sum()))
         return diag[..., 0, :] if inttask else diag
 
     def post_cov(self, x0, x1, task0=None, task1=None, n=None):
         """Posterior covariance (reference abstract_gp.py:417-474)."""
+        # equality of the two query sets decides the diagonal-clamp
+        # specialization; decide it HOST-side (object identity, then numpy
+        # compare) — an eager jnp.all() would be a device round trip per
+        # call on remote-relay TPU backends
+        equal_x = x0 is x1
+        if not equal_x:
+            x0_np, x1_np = np.asarray(x0), np.asarray(x1)
+            equal_x = x0_np.shape == x1_np.shape and bool(np.array_equal(x0_np, x1_np))
         x0 = jnp.asarray(x0, dtype=self.dtype)
         x1 = jnp.asarray(x1, dtype=self.dtype)
         assert x0.ndim == 2 and x0.shape[1] == self.d
@@ -493,7 +537,7 @@ class AbstractGP:
             task1 = self.default_task
         task0, inttask0 = _as_task_array(task0, self.num_tasks)
         task1, inttask1 = _as_task_array(task1, self.num_tasks)
-        equal = x0.shape == x1.shape and bool(jnp.all(x0 == x1)) and np.array_equal(task0, task1)
+        equal = equal_x and np.array_equal(task0, task1)
         self._warm_for_query(n)
 
         def build():

@@ -78,6 +78,10 @@ class FastGPDigitalNetB2(AbstractFastGP):
         return series.dsi_parts_from_delta(delta, self.t, self.alpha, beta, kappa,
                                            dtype=self.dtype)
 
+    def _part_dim(self, delta_j, j, b, k):
+        return series.dsi_part_dim(delta_j, self.t, int(self.alpha[j]), b, k,
+                                   dtype=self.dtype)
+
     def get_omega(self, m):
         return 1.0
 

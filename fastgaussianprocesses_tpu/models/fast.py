@@ -227,12 +227,39 @@ class AbstractFastGP(AbstractGP):
         return self._ft(k1)
 
     def _get_ytilde(self, task, n):
-        """Transformed observations (reference _YtildeCache, util.py:164-183)."""
+        """Transformed observations (reference _YtildeCache, util.py:164-183).
+
+        Incremental doubling: when the half-size transform is cached, the
+        full transform is the one-level radix-2 butterfly
+        ``[prev + w*ft(second half), prev - w*ft(second half)] / sqrt(2)``
+        (reference util.py:173-183) — O(n) merge + a HALF-size transform
+        instead of a full-size transform, and the half-size executable is
+        already compiled from the previous level.  A FASTGPS_TPU_DEBUG
+        cross-check recomputes in full (reference FASTGP_DEBUG, util.py:179).
+        """
         key = (task, n)
         if key not in self._ytilde_cache:
             y = self._y[task]
-            assert y.shape[-1] == n
-            yt = self._ft_jit(y) if n > 1 else y.astype(self._ftout_dtype())
+            assert y.shape[-1] >= n
+            prev = self._ytilde_cache.get((task, n // 2))
+            if n > 1 and prev is not None and self._seq_mesh is None:
+                from ..ops.bitops import log2_int
+                from ..ops.transforms import merge_doubling
+                half = y[..., n // 2:n]
+                half_t = (self._ft_jit(half) if n // 2 > 1
+                          else half.astype(self._ftout_dtype()))
+                omega = self.get_omega(log2_int(n // 2))
+                if not np.isscalar(omega):
+                    omega = omega.astype(self._ftout_dtype())
+                yt = merge_doubling(prev, half_t, omega)
+                from ..config import debug_checks_enabled
+                if debug_checks_enabled():
+                    full = self._ft_jit(y[..., :n])
+                    np.testing.assert_allclose(
+                        np.asarray(yt), np.asarray(full), atol=1e-8,
+                        err_msg="doubling butterfly != full transform")
+            else:
+                yt = self._ft_jit(y[..., :n]) if n > 1 else y[..., :n].astype(self._ftout_dtype())
             self._ytilde_cache[key] = yt
             if jnp.iscomplexobj(yt):
                 # eager split so jit traces consume REAL constants only
@@ -263,8 +290,13 @@ class AbstractFastGP(AbstractGP):
         raise NotImplementedError
 
     def _on_data_change(self):
-        self._ytilde_cache.clear()
-        self._ytilde_parts_cache.clear()
+        # y only ever grows by appending, so ytilde entries for prefix sizes
+        # stay valid — keeping them is what makes the doubling butterfly in
+        # _get_ytilde an O(n) update (reference _YtildeCache semantics).
+        for (task, n) in list(self._ytilde_cache):
+            if n > self._y[task].shape[-1]:
+                del self._ytilde_cache[(task, n)]
+                self._ytilde_parts_cache.pop((task, n), None)
         self._solver_cache.clear()
 
     # -- solver ----------------------------------------------------------
@@ -346,9 +378,15 @@ class AbstractFastGP(AbstractGP):
         return n
 
     # -- kernel evaluation ----------------------------------------------
+    def _part_dim(self, delta_j, j: int, b: int, k: int):
+        """One dimension's series term (concrete models override)."""
+        raise NotImplementedError
+
     def _kernel_explicit(self, x0, x1, beta0, beta1, c0, c1, scale, lengthscales):
-        parts = series.kernel_parts(self._parts_from_delta, x0, x1, self._ominus, beta0, beta1)
-        return series.kernel_from_parts(parts, beta0, beta1, c0, c1, scale, lengthscales)
+        # fused per-dimension accumulation: (N, n)-sized buffers only, never
+        # the (N, n, p0, p1, d) parts stack (550 GB at N=2^14, n=2^20, d=8)
+        return series.kernel_fused(self._part_dim, x0, x1, self._ominus,
+                                   beta0, beta1, c0, c1, scale, lengthscales)
 
     # -- fast cubature (abstract_fast_gp.py:65-154) ----------------------
     def post_cubature_mean(self, task=None):

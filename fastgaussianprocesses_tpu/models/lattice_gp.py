@@ -69,6 +69,9 @@ class FastGPLattice(AbstractFastGP):
     def _parts_from_delta(self, delta, beta, kappa):
         return series.si_parts_from_delta(delta, self.alpha, beta, kappa)
 
+    def _part_dim(self, delta_j, j, b, k):
+        return series.si_part_dim(delta_j, int(self.alpha[j]), b, k)
+
     def get_omega(self, m):
         return tr.get_omega_lattice(m, dtype=self._ftout_dtype())
 

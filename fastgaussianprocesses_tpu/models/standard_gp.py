@@ -61,6 +61,18 @@ class _StandardSolver:
                    for l in range(T)]
         else:
             nus = [noise[..., 0]] * T
+        # rounding-level RELATIVE nugget floor: with a fixed absolute noise
+        # and a fitted scale of 1e9+, the condition number passes 1e16 and
+        # float64 Cholesky emits NaNs faster than the retry loop can escalate
+        # (the reference's unbounded while-retry at util.py:219-237 eventually
+        # catches up; a jitted scan cannot be unbounded).  The max eigenvalue
+        # is bounded by the trace, so 64*eps*trace caps the condition number
+        # at ~1/(64 eps) ~ 7e13 while staying statistically invisible
+        # (1.3e-11 at unit scale, n=1024).
+        eps = float(jnp.finfo(model.dtype).eps)
+        nus = [jnp.maximum(nu, 64.0 * eps * jnp.trace(
+            lower[(l, l)], axis1=-2, axis2=-1))
+               for l, nu in enumerate(nus)]
 
         def assemble(spd_factor):
             rows = []
@@ -95,7 +107,7 @@ class _StandardSolver:
 
             return jax.lax.cond(bad, redo, keep, spd), None
 
-        (self.spd_factor, chol), _ = jax.lax.scan(retry, (spd0, chol0), None, length=8)
+        (self.spd_factor, chol), _ = jax.lax.scan(retry, (spd0, chol0), None, length=16)
         self.chol = chol
         diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
         self.logdet = 2.0 * jnp.log(diag).sum(-1)

@@ -20,9 +20,14 @@ import os
 import numpy as np
 
 _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
-_CBC_FILE = os.path.join(_DATA_DIR, "lattice_cbc_m20.npy")
+# packaged CBC tables; the SMALLEST sufficient table is preferred (CBC
+# vectors are tuned per n, and this keeps point sets stable for n <= 2^20)
+_CBC_FILES = [(20, os.path.join(_DATA_DIR, "lattice_cbc_m20.npy")),
+              (24, os.path.join(_DATA_DIR, "lattice_cbc_m24.npy"))]
+_CBC_FILE = _CBC_FILES[-1][1]  # backwards-compat name
 
-_DEF_M_MAX = 20
+_DEF_M_MAX = 20   # default kept at 20 so existing point sets stay stable
+_MAX_M_MAX = 24   # largest packaged CBC table (pass m_max=24 for n to 2^24)
 
 
 def _bitrev32(i: np.ndarray) -> np.ndarray:
@@ -46,10 +51,11 @@ def default_generating_vector(d: int, n_max: int = 1 << _DEF_M_MAX) -> np.ndarra
     pseudo-random odd vector (valid, lower quality) when the table is absent
     or too small.
     """
-    if os.path.exists(_CBC_FILE):
-        table = np.load(_CBC_FILE)
-        if table.shape[0] >= d:
-            return table[:d].astype(np.uint64)
+    for m_table, path in _CBC_FILES:
+        if (1 << m_table) >= n_max and os.path.exists(path):
+            table = np.load(path)
+            if table.shape[0] >= d:
+                return table[:d].astype(np.uint64)
     rng = np.random.default_rng(42)
     g = rng.integers(1, n_max // 2, size=d, dtype=np.uint64) * 2 + 1
     g[0] = 1

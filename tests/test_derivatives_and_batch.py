@@ -146,3 +146,84 @@ def test_batched_multitask_combined():
     assert data["loss_hist"][-1] >= data["loss_hist"][0]
     pcc = np.asarray(fgp.post_cubature_cov())
     assert pcc.shape == (B, 2, 2)
+
+
+def test_multidim_shape_batch_fleet_and_masks():
+    """shape_batch=(2,3) with per-level parameter shapes and an ndim-2 mask
+    (reference abstract_gp.py:73-77 + batch_multitask notebooks)."""
+    import math
+    B0, B1, n, d = 2, 3, 64, 2
+    # per-level parameter shapes: full-batch lengthscales, level-1 scale
+    # (suffix-of-shape_batch rule, reference abstract_gp.py:83,96)
+    fgp = FastGPLattice(d, seed_for_seq=3, shape_batch=(B0, B1),
+                        shape_lengthscales=(B0, B1, d), shape_scale=(B1, 1))
+    x = fgp.get_x_next(n)
+    xx = np.asarray(x)
+    ys = np.stack([np.stack([f_poly(xx) * (1 + i + 2 * j) for j in range(B1)])
+                   for i in range(B0)])  # (B0, B1, n)
+    fgp.add_y_next(jnp.asarray(ys))
+    assert np.asarray(fgp.coeffs).shape == (B0, B1, n)
+    assert np.asarray(fgp.lengthscales).shape == (B0, B1, d)
+    assert np.asarray(fgp.scale).shape == (B1, 1)
+    xq = np.random.default_rng(1).uniform(size=(5, d))
+    pm = np.asarray(fgp.post_mean(xq))
+    assert pm.shape == (B0, B1, 5)
+    for i in range(B0):
+        for j in range(B1):
+            ref = (1 + i + 2 * j) * f_poly(xq)
+            assert np.linalg.norm(pm[i, j] - ref) / np.linalg.norm(ref) < 0.45
+    pv = np.asarray(fgp.post_var(xq))
+    assert pv.shape == (B0, B1, 5) and (pv >= 0).all()
+    # full-fleet fit improves
+    data = fgp.fit(iterations=8, verbose=0, store_loss_hist=True)
+    assert data["loss_hist"][-1] >= data["loss_hist"][0]
+    # masked fit: only fleet entries (0,0) and (1,2) contribute to the loss
+    masks = np.array([[0, 0], [1, 2]]).T  # index arrays per batch dim
+    data_m = fgp.fit(iterations=4, verbose=0, masks=masks, store_loss_hist=True)
+    assert np.isfinite(data_m["loss_hist"]).all()
+    # cubature keeps the fleet shape
+    assert np.asarray(fgp.post_cubature_mean()).shape == (B0, B1)
+    assert np.asarray(fgp.post_cubature_var()).shape == (B0, B1)
+
+
+@pytest.mark.parametrize("model_cls,kw", [
+    (FastGPLattice, dict(alpha=3)),
+    (FastGPDigitalNetB2, dict(alpha=4)),
+])
+def test_weighted_multirow_derivatives_match_dense(model_cls, kw):
+    """Tasks observing WEIGHTED SUMS of derivatives: multi-row beta with
+    non-unit derivatives_coeffs (reference abstract_gp.py:58-72), checked
+    against the dense oracle."""
+    d = 2
+    # task 0: f; task 1: 2*df/dx0 - 0.5*df/dx1 (a directional derivative)
+    derivs = [np.zeros((1, d), dtype=np.int64),
+              np.array([[1, 0], [0, 1]], dtype=np.int64)]
+    coeffs = [np.array([1.0]), np.array([2.0, -0.5])]
+    fgp = model_cls(d, num_tasks=2, seed_for_seq=5, derivatives=derivs,
+                    derivatives_coeffs=coeffs, noise=1e-4, **kw)
+    ns = [32, 16]
+    xs = fgp.get_x_next(ns, task=[0, 1])
+    y0 = f_poly(xs[0])
+    y1 = 2.0 * df_dx0(xs[1]) - 0.5 * df_dx1(xs[1])
+    fgp.add_y_next([jnp.asarray(y0), jnp.asarray(y1)], task=[0, 1])
+    K = dense_gram(fgp)
+    evals = np.linalg.eigvalsh((K + K.T) / 2)
+    assert evals.min() > 0, "weighted-derivative Gram must stay PD"
+    y = np.concatenate([np.asarray(y0), np.asarray(y1)])
+    np.testing.assert_allclose(np.asarray(fgp.coeffs), np.linalg.solve(K, y),
+                               atol=1e-5)
+    _, logdet = np.linalg.slogdet(K)
+    np.testing.assert_allclose(float(fgp._solver().factor.logdet), logdet, rtol=1e-6)
+    # posterior mean of the weighted-derivative task against dense
+    rng = np.random.default_rng(4)
+    xq = rng.uniform(size=(5, d))
+    got = np.asarray(fgp.post_mean(xq, task=1))
+    kx = np.concatenate([np.asarray(fgp._kernel_explicit(
+        jnp.asarray(xq)[:, None, :], fgp.get_xb(l)[None, :, :],
+        fgp.derivatives[1], fgp.derivatives[l],
+        fgp.derivatives_coeffs[1], fgp.derivatives_coeffs[l],
+        fgp.scale, fgp.lengthscales)) for l in range(2)], axis=-1)
+    np.testing.assert_allclose(got, kx @ np.linalg.solve(K, y), atol=1e-7)
+    # and the fit runs
+    data = fgp.fit(iterations=5, verbose=0, store_loss_hist=True)
+    assert np.isfinite(data["loss_hist"]).all()

@@ -203,3 +203,21 @@ def test_digital_net_t53_matches_dense():
     K2 = dense_gram(fgp2)
     np.testing.assert_allclose(np.asarray(fgp2.coeffs),
                                np.linalg.solve(K2, np.asarray(fgp2.y)), atol=1e-6)
+
+
+@pytest.mark.parametrize("model_cls", [FastGPLattice, FastGPDigitalNetB2])
+def test_posterior_query_chunking_matches_unchunked(model_cls):
+    """Host-level query chunking (bounded device buffers at any n) returns
+    exactly the same posterior mean/var as one-shot evaluation."""
+    fgp = _make(model_cls, 2**7, d=2, noise=1e-4)
+    rng = np.random.default_rng(9)
+    x = rng.uniform(size=(37, 2))  # deliberately not a multiple of the chunk
+    want_m = np.asarray(fgp.post_mean(x))
+    want_v = np.asarray(fgp.post_var(x))
+    fgp2 = _make(model_cls, 2**7, d=2, noise=1e-4)
+    fgp2._QUERY_CHUNK_ELEMS = 8 * 128  # chunk size 8 queries
+    assert fgp2._query_chunk_size(37, int(fgp2.n.sum())) == 8
+    got_m = np.asarray(fgp2.post_mean(x))
+    got_v = np.asarray(fgp2.post_var(x))
+    np.testing.assert_allclose(got_m, want_m, atol=1e-12)
+    np.testing.assert_allclose(got_v, want_v, atol=1e-12)
