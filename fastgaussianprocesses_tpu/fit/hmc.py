@@ -31,6 +31,7 @@ class HMCResult(NamedTuple):
     accept_rate: jnp.ndarray
     step_size: jnp.ndarray
     mass_diag: dict
+    state: tuple = None     # (carry, next_t): resume token for hmc(init_state=...)
 
 
 def _flatten(tree):
@@ -54,13 +55,20 @@ def _unflatten(flat, spec):
 def hmc(logprob_fn: Callable, init_params, key,
         num_samples: int = 500, num_warmup: int = 500, num_chains: int = 8,
         num_leapfrog: int = 16, target_accept: float = 0.8,
-        init_jitter: float = 0.5, chain_sharding=None) -> HMCResult:
+        init_jitter: float = 0.5, chain_sharding=None,
+        init_state=None) -> HMCResult:
     """Sample ``logprob_fn`` (pytree -> scalar) starting near ``init_params``.
 
     Returns samples stacked as (num_samples, chains, ...).  When
     ``chain_sharding`` (a NamedSharding over a 'chains'-like axis) is given,
     the chain-stacked state is placed on it so the sampler runs SPMD across
     devices.
+
+    Checkpoint/resume: per-step PRNG keys are ``fold_in(key, t)`` with a
+    global step counter, and the scan carry is returned in ``result.state``;
+    passing it back as ``init_state`` (with the same ``key``) continues the
+    run BITWISE-identically to an uninterrupted one.  ``num_warmup`` counts
+    from the global step 0, so a resumed run past warmup adapts no further.
     """
     flat0, spec = _flatten(init_params)
     dim = flat0.shape[0]
@@ -131,32 +139,44 @@ def hmc(logprob_fn: Callable, init_params, key,
         new_carry = (q, log_eps, h_bar, log_eps_bar, mass_mean, mass_sq, count, adapting)
         return new_carry, (q, lp, accept.mean())
 
-    total = num_warmup + num_samples
-    keys = jax.random.split(k_run, total)
-    ts = jnp.arange(total, dtype=dtype)
-    adapt_flags = ts < num_warmup
+    if init_state is None:
+        start_t = 0
+        init_carry = (q0, jnp.asarray(math.log(0.1), dtype=dtype), jnp.asarray(0.0, dtype=dtype),
+                      jnp.asarray(math.log(0.1), dtype=dtype), jnp.zeros(dim, dtype=dtype),
+                      jnp.zeros(dim, dtype=dtype), jnp.asarray(0.0, dtype=dtype),
+                      jnp.asarray(True))
+        total = num_warmup + num_samples
+    else:
+        init_carry, start_t = init_state
+        init_carry = tuple(jnp.asarray(v) for v in init_carry)
+        start_t = int(start_t)
+        total = max(0, num_warmup - start_t) + num_samples
+    ts_i = np.arange(start_t, start_t + total)
+    ts = jnp.asarray(ts_i, dtype=dtype)
+    ts_int = jnp.asarray(ts_i, dtype=jnp.int32)
+    adapt_flags = jnp.asarray(ts_i < num_warmup)
+    n_keep_warm = int((ts_i < num_warmup).sum())
 
     def scan_step(carry, inputs):
-        k, t, adapting = inputs
+        ti, t, adapting = inputs
+        # per-step key from the global step counter: resume reproduces the
+        # identical randomness stream of an uninterrupted run
+        k = jax.random.fold_in(k_run, ti)
         carry = carry[:-1] + (adapting,)
         return step(carry, (k, t))
 
-    init_carry = (q0, jnp.asarray(math.log(0.1), dtype=dtype), jnp.asarray(0.0, dtype=dtype),
-                  jnp.asarray(math.log(0.1), dtype=dtype), jnp.zeros(dim, dtype=dtype),
-                  jnp.zeros(dim, dtype=dtype), jnp.asarray(0.0, dtype=dtype),
-                  jnp.asarray(True))
-
     run = jax.jit(lambda c, xs: jax.lax.scan(scan_step, c, xs))
-    final_carry, (qs, lps, acc) = run(init_carry, (keys, ts, adapt_flags))
-    qs = qs[num_warmup:]
-    lps = lps[num_warmup:]
-    acc = acc[num_warmup:]
+    final_carry, (qs, lps, acc) = run(init_carry, (ts_int, ts, adapt_flags))
+    qs = qs[n_keep_warm:]
+    lps = lps[n_keep_warm:]
+    acc = acc[n_keep_warm:]
     inv_mass_final = final_carry[4]
 
     samples = jax.vmap(jax.vmap(lambda q: _unflatten(q, spec)))(qs)
     mass = _unflatten(inv_mass_final, spec)
     return HMCResult(samples=samples, log_prob=lps, accept_rate=acc.mean(),
-                     step_size=jnp.exp(final_carry[3]), mass_diag=mass)
+                     step_size=jnp.exp(final_carry[3]), mass_diag=mass,
+                     state=(final_carry, start_t + total))
 
 
 # ---------------------------------------------------------------------------
@@ -200,7 +220,7 @@ def effective_sample_size(x):
 def sample_gp_hyperposterior(model, num_samples=500, num_warmup=500,
                              num_chains=8, seed=0, prior_std=3.0,
                              include=("scale", "lengthscales"),
-                             chain_sharding=None):
+                             chain_sharding=None, resume_state=None):
     """Sample the hyperposterior of a GP model's raw hyperparameters.
 
     log p(theta | y) = -MLL_loss(theta) + log N(raw; raw_init, prior_std^2).
@@ -226,7 +246,7 @@ def sample_gp_hyperposterior(model, num_samples=500, num_warmup=500,
 
     result = hmc(logprob, sampled0, seed, num_samples=num_samples,
                  num_warmup=num_warmup, num_chains=num_chains,
-                 chain_sharding=chain_sharding)
+                 chain_sharding=chain_sharding, init_state=resume_state)
     diagnostics = {}
     for k, v in result.samples.items():
         flat = np.asarray(v).reshape(v.shape[0], v.shape[1], -1)

@@ -139,27 +139,34 @@ def kernel_fused(part_dim_fn, x_or_b, z_or_b, ominus, beta0: np.ndarray,
     Same math as kernel_parts + kernel_from_parts (reference
     abstract_fast_gp.py:173-191); oracle-tested equal in tests.
     """
-    delta = ominus(x_or_b, z_or_b)
-    d = delta.shape[-1]
+    d = x_or_b.shape[-1]
     p0, p1 = len(beta0), len(beta1)
     c0 = np.asarray(c0, dtype=np.float64)
     c1 = np.asarray(c1, dtype=np.float64)
     ls = lengthscales + jnp.zeros((d,), dtype=scale.dtype)  # (*batch, d)
+    # per-dimension deltas computed INSIDE the innermost loop so only ONE
+    # (N, n) integer temporary is ever live: even one (N, n, d) tensor is
+    # gigabytes at query scale, and elementwise chains spawn several of them
+    # before fusion
+    def delta_j(j):
+        return ominus(x_or_b[..., j:j + 1], z_or_b[..., j:j + 1])[..., 0]
+
+    sp_ndim = max(x_or_b.ndim, z_or_b.ndim) - 1
     total = None
     for i0 in range(p0):
         for i1 in range(p1):
             prod = None
             for j in range(d):
-                part = part_dim_fn(delta[..., j], j, int(beta0[i0, j]), int(beta1[i1, j]))
+                part = part_dim_fn(delta_j(j), j, int(beta0[i0, j]), int(beta1[i1, j]))
                 ind = 1.0 if (beta0[i0, j] + beta1[i1, j]) == 0 else 0.0
                 lsj = ls[..., j]
-                lsj = lsj.reshape(lsj.shape + (1,) * (delta.ndim - 1))
+                lsj = lsj.reshape(lsj.shape + (1,) * sp_ndim)
                 term = ind + lsj * part
                 prod = term if prod is None else prod * term
             w = float(c0[i0] * c1[i1])
             contrib = prod if w == 1.0 else w * prod
             total = contrib if total is None else total + contrib
-    scale_r = scale[..., 0].reshape(scale.shape[:-1] + (1,) * (delta.ndim - 1))
+    scale_r = scale[..., 0].reshape(scale.shape[:-1] + (1,) * sp_ndim)
     return scale_r * total
 
 

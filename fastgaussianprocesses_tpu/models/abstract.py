@@ -427,39 +427,33 @@ class AbstractGP:
         return jnp.concatenate(rows, -3)
 
     # Largest (query x train) cross-kernel block evaluated at once: bounds
-    # per-query-chunk device buffers to a few hundred MB at any n (the dense
-    # cross-kernel is the one O(N * n) surface in the API; reference hits
-    # the same wall at abstract_gp.py:375 but never chunks).
-    _QUERY_CHUNK_ELEMS = 1 << 26
+    # the device buffers to a few hundred MB at any n (the dense cross-kernel
+    # is the one O(N * n) surface in the API; the reference hits the same
+    # wall at abstract_gp.py:375 but never chunks).
+    _QUERY_CHUNK_ELEMS = 1 << 24
 
     def _query_chunk_size(self, N: int, total_n: int) -> int:
         return int(max(1, min(N, self._QUERY_CHUNK_ELEMS // max(total_n, 1))))
 
-    def _run_chunked(self, fn, raw, x, N_axis=-1, total_n=None):
-        """Run a jitted per-chunk query over host-level query chunks.
+    def _map_query_chunks(self, per_chunk, x, nb):
+        """Evaluate ``per_chunk(xq_block) -> (..., nb)`` over query chunks.
 
-        Pads the last chunk so ONE executable serves every chunk, then slices
-        the padding off along ``N_axis`` of the result.
+        Runs INSIDE the jitted query as a ``lax.map`` over (C, nb, d) blocks:
+        one compiled executable and one dispatch regardless of N, with device
+        buffers bounded by the chunk size.  Returns (..., N).
         """
         N = x.shape[0]
-        if total_n is None:
-            total_n = int(self.n.sum())
-        nb = self._query_chunk_size(N, total_n)
         if nb >= N:
-            return fn(raw, x)
-        outs = []
-        for s in range(0, N, nb):
-            blk = x[s:s + nb]
-            valid = blk.shape[0]
-            if valid < nb:
-                blk = jnp.concatenate(
-                    [blk, jnp.zeros((nb - valid,) + blk.shape[1:], blk.dtype)], 0)
-            out = fn(raw, blk)
-            if valid < nb:
-                out = jax.lax.slice_in_dim(out, 0, valid, axis=out.ndim + N_axis
-                                           if N_axis < 0 else N_axis)
-            outs.append(out)
-        return jnp.concatenate(outs, axis=N_axis)
+            return per_chunk(x)
+        C = -(-N // nb)
+        pad = C * nb - N
+        xp = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0) \
+            if pad else x
+        chunks = xp.reshape((C, nb) + x.shape[1:])
+        out = jax.lax.map(per_chunk, chunks)        # (C, ..., nb)
+        out = jnp.moveaxis(out, 0, -2)              # (..., C, nb)
+        out = out.reshape(out.shape[:-2] + (C * nb,))
+        return out[..., :N]
 
     def post_mean(self, x, task=None):
         """Posterior mean (reference abstract_gp.py:352-380)."""
@@ -469,20 +463,25 @@ class AbstractGP:
             task = self.default_task
         task, inttask = _as_task_array(task, self.num_tasks)
         self._warm_for_query(self.n)
+        nb = self._query_chunk_size(x.shape[0], int(self.n.sum()))
 
         def build():
             def impl(raw, xq):
                 params = self._transformed(raw)
                 kmat_tasks = self._task_gram(raw)
                 solver = self._query_solver_any(raw, self.n)
-                coeffs = solver.coeffs()
-                kmat = self._cross_kmat(xq, task, self.n, params, kmat_tasks)
-                return jnp.einsum("...i,...i->...", kmat, coeffs[..., None, None, :])
+                coeffs = solver.coeffs()  # hoisted: computed once, not per chunk
+
+                def one(xc):
+                    kmat = self._cross_kmat(xc, task, self.n, params, kmat_tasks)
+                    return jnp.einsum("...i,...i->...", kmat,
+                                      coeffs[..., None, None, :])
+
+                return self._map_query_chunks(one, xq, nb)
             return impl
 
-        nb = self._query_chunk_size(x.shape[0], int(self.n.sum()))
-        fn = self._get_query_fn(("mean", tuple(task.tolist()), nb), build)
-        pmean = self._run_chunked(fn, self._raw_dict(), x, N_axis=-1)
+        fn = self._get_query_fn(("mean", tuple(task.tolist()), nb, x.shape[0]), build)
+        pmean = fn(self._raw_dict(), x)
         return pmean[..., 0, :] if inttask else pmean
 
     def post_var(self, x, task=None, n=None):
@@ -495,25 +494,33 @@ class AbstractGP:
         task, inttask = _as_task_array(task, self.num_tasks)
         self._warm_for_query(n)
 
+        nb = self._query_chunk_size(x.shape[0], int(n.sum()))
+
         def build():
             def impl(raw, xq):
                 params = self._transformed(raw)
                 kmat_tasks = self._task_gram(raw)
                 scale, ls = params["scale"], params["lengthscales"]
-                prior = jnp.stack([
-                    kmat_tasks[..., t, t, None] * self._kernel_explicit(
-                        xq, xq, self.derivatives[t], self.derivatives[t],
-                        self.derivatives_coeffs[t], self.derivatives_coeffs[t], scale, ls)
-                    for t in task], -2)
-                kmat = self._cross_kmat(xq, task, n, params, kmat_tasks)
-                t_sol = self._query_solver_any(raw, n).gram_matrix_solve(kmat, extra_ndim=2)
-                diag = prior - (t_sol * kmat).sum(-1)
-                return jnp.maximum(diag, 0.0)
+                solver = self._query_solver_any(raw, n)  # factorized once
+
+                def one(xc):
+                    prior = jnp.stack([
+                        kmat_tasks[..., t, t, None] * self._kernel_explicit(
+                            xc, xc, self.derivatives[t], self.derivatives[t],
+                            self.derivatives_coeffs[t], self.derivatives_coeffs[t],
+                            scale, ls)
+                        for t in task], -2)
+                    kmat = self._cross_kmat(xc, task, n, params, kmat_tasks)
+                    t_sol = solver.gram_matrix_solve(kmat, extra_ndim=2)
+                    diag = prior - (t_sol * kmat).sum(-1)
+                    return jnp.maximum(diag, 0.0)
+
+                return self._map_query_chunks(one, xq, nb)
             return impl
 
-        nb = self._query_chunk_size(x.shape[0], int(n.sum()))
-        fn = self._get_query_fn(("var", tuple(task.tolist()), nb, tuple(n.tolist())), build)
-        diag = self._run_chunked(fn, self._raw_dict(), x, N_axis=-1, total_n=int(n.sum()))
+        fn = self._get_query_fn(("var", tuple(task.tolist()), nb, x.shape[0],
+                                 tuple(n.tolist())), build)
+        diag = fn(self._raw_dict(), x)
         return diag[..., 0, :] if inttask else diag
 
     def post_cov(self, x0, x1, task0=None, task1=None, n=None):
@@ -636,12 +643,23 @@ class AbstractGP:
             verbose: int = 5,
             verbose_indent: int = 4,
             masks=None,
-            cv_weights=1):
+            cv_weights=1,
+            checkpoint_path: str = None,
+            checkpoint_every: int = 50,
+            resume_from: str = None):
         """Hyperparameter optimization by Rprop with early stopping.
 
         Semantics mirror the reference fit loop (abstract_gp.py:152-306):
         loss metrics MLL / GCV / CV, best-parameter restore, improvement-
         threshold early stopping, optional history storage.
+
+        Checkpoint/resume (beyond reference capability): with
+        ``checkpoint_path``, the FULL optimization state — raw params, Rprop
+        step sizes and previous gradients, best-so-far params/loss, early-
+        stopping counters, iteration — is written every ``checkpoint_every``
+        iterations; ``resume_from`` restores it so a killed fit continues
+        exactly where it stopped (identical trajectory to an uninterrupted
+        run).
         """
         loss_metric = loss_metric.upper()
         assert loss_metric in ("MLL", "GCV", "CV")
@@ -687,7 +705,30 @@ class AbstractGP:
         best_raw = raw
         waits = 0
         i = 0
-        for i in range(iterations + 1):
+        i0 = 0
+        if resume_from is not None:
+            ck = np.load(resume_from)
+            raw = {k: jnp.asarray(ck[f"raw_{k}"], dtype=raw[k].dtype) for k in raw}
+            best_raw = {k: jnp.asarray(ck[f"best_{k}"], dtype=raw[k].dtype) for k in raw}
+            opt_state = opt_state._replace(
+                step_sizes={k: jnp.asarray(ck[f"ss_{k}"], dtype=raw[k].dtype) for k in raw},
+                prev_grad={k: jnp.asarray(ck[f"pg_{k}"], dtype=raw[k].dtype) for k in raw})
+            best_loss = float(ck["best_loss"])
+            save_loss = float(ck["save_loss"])
+            waits = int(ck["waits"])
+            i0 = int(ck["iteration"]) + 1
+
+        def _save_checkpoint(path, raw_ck, opt_ck):
+            arrays = {"best_loss": best_loss, "save_loss": save_loss,
+                      "waits": waits, "iteration": i}
+            for k in raw_ck:
+                arrays[f"raw_{k}"] = np.asarray(raw_ck[k])
+                arrays[f"best_{k}"] = np.asarray(best_raw[k])
+                arrays[f"ss_{k}"] = np.asarray(opt_ck.step_sizes[k])
+                arrays[f"pg_{k}"] = np.asarray(opt_ck.prev_grad[k])
+            np.savez(path, **arrays)
+
+        for i in range(i0, iterations + 1):
             (loss, (term1, term2)), grads = loss_and_grad(raw, fit_data)
             loss_f = float(loss)
             if loss_f < best_loss:
@@ -715,8 +756,15 @@ class AbstractGP:
                 t2 = float(term2) if np.size(term2) == 1 else math.nan
                 print(" " * verbose_indent + "%16.2e | %-10.2e | %-10.2e | %-10.2e" % (i, loss_f, t1, t2))
             if break_condition:
+                if checkpoint_path is not None:
+                    # save the POST-update state so a resumed run evaluates
+                    # its next loss exactly where an uninterrupted run would
+                    raw_n, opt_n = rprop_update(grads, opt_state, raw, trainable)
+                    _save_checkpoint(checkpoint_path, raw_n, opt_n)
                 break
             raw, opt_state = rprop_update(grads, opt_state, raw, trainable)
+            if checkpoint_path is not None and (i + 1) % checkpoint_every == 0:
+                _save_checkpoint(checkpoint_path, raw, opt_state)
         self._set_raw(best_raw)
         data = {"iterations": i}
         for k, v in hists.items():

@@ -59,13 +59,20 @@ class FastGPDigitalNetB2(AbstractFastGP):
 
     _ift = _ft  # FWHT is self-inverse (dispatch inside covers both paths)
 
+    @property
+    def _xb_int_dtype(self):
+        # int32 halves the integer memory traffic of kernel evaluations and
+        # is exact for t <= 30 bits (values < 2^30)
+        return np.int32 if self.t <= 30 else np.int64
+
     def _sample(self, seq, n_min, n_max):
-        xb = seq(n_min, n_max, return_binary=True).astype(np.int64)
+        xb = seq(n_min, n_max, return_binary=True).astype(self._xb_int_dtype)
         return xb * 2.0 ** -self.t, xb
 
     def _convert_to_b(self, x):
         """t-bit fixed-point form of float points (fast_gp_digital_net_b2.py:270)."""
-        return jnp.floor((x % 1.0) * (2 ** self.t)).astype(jnp.int64)
+        out_dtype = jnp.int32 if self.t <= 30 else jnp.int64
+        return jnp.floor((x % 1.0) * (2 ** self.t)).astype(out_dtype)
 
     def _ominus(self, a, b):
         a_int = jnp.issubdtype(a.dtype, jnp.integer)

@@ -49,8 +49,10 @@ def _split(m: int):
 
 
 def _rows_per_block(m: int) -> int:
-    """Row-slab size: keep the in+out+intermediate VMEM footprint ~<= 8 MB."""
-    return max(1, min(8, 1 << (19 - m)))
+    """Row-slab size: keep the in+out+intermediate VMEM footprint ~<= 4 MB
+    (m=18 at twice this slab overflowed the 16 MB scoped-vmem limit when the
+    kernel ran inside a larger jit graph)."""
+    return max(1, min(8, 1 << (18 - m)))
 
 
 def _make_kernel(rows, n1, scale):

@@ -14,6 +14,28 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def save_hmc_state(state, path: str):
+    """Persist an HMC resume token (``HMCResult.state``) to ``path`` (.npz).
+
+    Together with ``fit(checkpoint_path=...)`` this completes the
+    checkpoint story: a killed sampling run resumes BITWISE-identically
+    (per-step keys are fold_in(key, global_step); see fit/hmc.py).
+    """
+    carry, next_t = state
+    arrays = {f"c{i}": np.asarray(v) for i, v in enumerate(carry)}
+    arrays["next_t"] = np.asarray(next_t)
+    arrays["ncarry"] = np.asarray(len(carry))
+    np.savez(path, **arrays)
+
+
+def load_hmc_state(path: str):
+    """Load an HMC resume token saved by :func:`save_hmc_state`."""
+    data = np.load(path)
+    ncarry = int(data["ncarry"])
+    carry = tuple(jnp.asarray(data[f"c{i}"]) for i in range(ncarry))
+    return carry, int(data["next_t"])
+
+
 def save_state(model, path: str):
     """Write the model's dynamic state to ``path`` (.npz)."""
     arrays = {"n": np.asarray(model.n)}

@@ -77,3 +77,63 @@ def test_incremental_doubling_butterfly():
         fresh.add_y_next(jnp.asarray(f(np.asarray(xf))))
         np.testing.assert_allclose(np.asarray(fgp.coeffs), np.asarray(fresh.coeffs),
                                    atol=1e-8)
+
+
+def test_fit_kill_and_resume_continues_exactly(tmp_path):
+    """A fit killed mid-run and resumed from its checkpoint follows the
+    identical trajectory to an uninterrupted run (full Rprop state +
+    early-stopping counters round-trip)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fastgaussianprocesses_tpu import FastGPLattice
+
+    def build():
+        gp = FastGPLattice(2, seed_for_seq=7, alpha=2)
+        x = gp.get_x_next(128)
+        gp.add_y_next(jnp.asarray(np.sin(2 * np.pi * np.asarray(x)[:, 0])))
+        return gp
+
+    # uninterrupted 20 iterations
+    gp_full = build()
+    d_full = gp_full.fit(iterations=20, verbose=0, store_loss_hist=True)
+    # killed after 10, resumed for the rest
+    ck = str(tmp_path / "fit_ck.npz")
+    gp_a = build()
+    gp_a.fit(iterations=10, verbose=0, checkpoint_path=ck, checkpoint_every=10)
+    gp_b = build()
+    d_b = gp_b.fit(iterations=20, verbose=0, resume_from=ck, store_loss_hist=True)
+    # part 1 evaluated iterations 0..10; the resumed run continues with
+    # iterations 11..20 — together exactly the uninterrupted trajectory
+    np.testing.assert_allclose(np.asarray(d_b["loss_hist"]),
+                               np.asarray(d_full["loss_hist"][11:]), rtol=0, atol=0)
+    for k in gp_full.params:
+        np.testing.assert_array_equal(np.asarray(gp_b.params[k].raw),
+                                      np.asarray(gp_full.params[k].raw), err_msg=k)
+
+
+def test_hmc_kill_and_resume_continues_exactly(tmp_path):
+    """Sampling resumed from a persisted HMC state reproduces the exact
+    draws of an uninterrupted run (fold_in per-step keys + carried state)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fastgaussianprocesses_tpu import FastGPLattice
+    from fastgaussianprocesses_tpu.fit.hmc import sample_gp_hyperposterior
+    from fastgaussianprocesses_tpu.utils.checkpoint import (load_hmc_state,
+                                                            save_hmc_state)
+
+    gp = FastGPLattice(2, seed_for_seq=7)
+    x = gp.get_x_next(64)
+    gp.add_y_next(jnp.asarray(np.sin(2 * np.pi * np.asarray(x)[:, 0])))
+    full, _ = sample_gp_hyperposterior(gp, num_samples=20, num_warmup=10,
+                                       num_chains=4, seed=3)
+    part1, _ = sample_gp_hyperposterior(gp, num_samples=8, num_warmup=10,
+                                        num_chains=4, seed=3)
+    path = str(tmp_path / "hmc_ck.npz")
+    save_hmc_state(part1.state, path)
+    part2, _ = sample_gp_hyperposterior(gp, num_samples=12, num_warmup=10,
+                                        num_chains=4, seed=3,
+                                        resume_state=load_hmc_state(path))
+    for k in full.samples:
+        merged = np.concatenate([np.asarray(part1.samples[k]),
+                                 np.asarray(part2.samples[k])], 0)
+        np.testing.assert_array_equal(merged, np.asarray(full.samples[k]), err_msg=k)
