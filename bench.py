@@ -134,6 +134,22 @@ def bench_hmc(n=1 << 14, d=4, num_chains=8, num_samples=100, num_warmup=100):
     return num_samples * num_chains / dt, diags
 
 
+HBM_GBPS = 819.0  # v5e HBM bandwidth
+
+
+def _roofline_mll(n, d, complex_ft=True):
+    """Estimated HBM traffic (bytes) of one MLL fit step (fwd + bwd).
+
+    Counts: k1parts read (d * n f32), kernel-series contraction intermediates
+    (~2 n f32), the first-column transform (~3 passes of n complex64 or f32),
+    ytilde solve + reductions (~4 n), all doubled for the backward pass.
+    An estimate for a stated roofline fraction, not a measurement.
+    """
+    cplx = 8 if complex_ft else 4
+    fwd = 4 * n * d + 2 * 4 * n + 3 * 2 * cplx * n + 4 * 4 * n
+    return 2 * fwd
+
+
 def main():
     matrix = {}
 
@@ -141,19 +157,27 @@ def main():
     gp = make_lattice(1 << 20, 8)
     dt = bench_fit_steps(gp)
     steps_per_s = 1.0 / dt
+    ideal = _roofline_mll(1 << 20, 8, True) / (HBM_GBPS * 1e9)
     matrix["lattice_mll_n2e20_d8"] = {"value": round(steps_per_s, 3),
-                                      "unit": "steps/s"}
+                                      "unit": "steps/s",
+                                      "roofline_frac": round(ideal / dt, 3)}
     del gp
 
     try:
         gp = make_lattice(1 << 22, 8)
-        matrix["lattice_mll_n2e22_d8"] = {"value": round(1.0 / bench_fit_steps(gp, iters=10), 3),
-                                          "unit": "steps/s"}
+        dt22 = bench_fit_steps(gp, iters=10)
+        matrix["lattice_mll_n2e22_d8"] = {
+            "value": round(1.0 / dt22, 3), "unit": "steps/s",
+            "roofline_frac": round(_roofline_mll(1 << 22, 8, True)
+                                   / (HBM_GBPS * 1e9) / dt22, 3)}
         del gp
 
         gp = make_dnb2(1 << 20, 8)
-        matrix["dnb2_mll_n2e20_d8"] = {"value": round(1.0 / bench_fit_steps(gp), 3),
-                                       "unit": "steps/s"}
+        dtd = bench_fit_steps(gp)
+        matrix["dnb2_mll_n2e20_d8"] = {
+            "value": round(1.0 / dtd, 3), "unit": "steps/s",
+            "roofline_frac": round(_roofline_mll(1 << 20, 8, False)
+                                   / (HBM_GBPS * 1e9) / dtd, 3)}
 
         matrix["dnb2_post_query_n2e20_N2e14"] = {
             "value": round(bench_posterior(gp), 4), "unit": "s"}

@@ -1,0 +1,141 @@
+"""Generate BASELINE_REPRO.md: our accuracy-parity results side by side with
+the reference's published probnum25 tables (BASELINE.md).
+
+Run after examples/benchmark_suite.py --grad wrote
+examples/accuracy_results_cpu_f64.json:
+
+    python examples/make_baseline_repro.py
+"""
+
+import json
+import os
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+
+# reference published numbers (benchmarks_accuracy_time.tex / benchmarks_mll.tex,
+# transcribed in BASELINE.md)
+REF_L2 = {   # function: (SE f, SE grad, SI f, SI grad, DSI f, DSI grad)
+    "ackley_d1": (6.2e-2, 3.1e-1, 6.2e-2, 8.1e-2, 7.0e-2, 1.7e-1),
+    "branin":    (5.5e-3, 2.4e-5, 9.8e-1, 1.0e-1, 2.7e-1, 3.5e-1),
+    "camel":     (2.5e-1, 6.2e-1, 2.8e-1, 7.0e-2, 4.3e-1, 3.5e0),
+    "stytang":   (1.3e0, 7.9e-1, 9.7e-1, 2.5e-1, 9.1e-1, 5.8e0),
+    "hartmann":  (1.4e-1, 1.1e-1, 1.2e-1, 1.1e-1, 1.5e-1, 1.1e1),
+}
+REF_MLL = {
+    "ackley_d1": (-8.6e1, -5.4e2, -5.8e1, -3.7e2, -8.5e1, -4.5e2),
+    "branin":    (-1.0e2, -2.6e0, -1.8e2, -6.2e2, -1.7e2, -6.8e2),
+    "camel":     (-1.3e2, -6.2e2, -1.3e2, -5.3e2, -1.5e2, -7.0e2),
+    "stytang":   (-1.0e2, -6.5e2, -1.5e2, -6.1e2, -1.9e2, -7.6e2),
+    "hartmann":  (5.4e0, -1.1e2, 1.2e1, -3.0e2, 3.0e0, -1.2e2),
+}
+REF_TIME = {
+    "ackley_d1": (4.2e-2, 1.7e-3, 5.6e-4, 1.3e-3, 7.7e-4, 1.9e-3),
+    "branin":    (6.5e-4, 3.6e-3, 5.3e-4, 2.1e-3, 7.0e-4, 3.4e-3),
+    "camel":     (6.7e-4, 5.1e-3, 5.0e-4, 2.2e-3, 6.8e-4, 3.4e-3),
+    "stytang":   (6.4e-4, 3.7e-3, 5.2e-4, 2.2e-3, 7.7e-4, 3.4e-3),
+    "hartmann":  (8.8e-4, 3.0e-2, 5.1e-4, 8.3e-3, 7.1e-4, 1.6e-2),
+}
+COLS = [("standard", False), ("standard", True), ("lattice", False),
+        ("lattice", True), ("dnb2", False), ("dnb2", True)]
+NAMES = ["SE f", "SE (f,df)", "SI f", "SI (f,df)", "DSI f", "DSI (f,df)"]
+
+
+def cell(results, fname, model, grad, field):
+    key = f"{fname}/{model}" + ("/grad" if grad else "")
+    r = results.get(key, {})
+    v = r.get(field)
+    return v
+
+
+def fmt(v):
+    if v is None:
+        return "--"
+    return f"{v:.1e}"
+
+
+def table(results, field, ref):
+    lines = ["| benchmark | " + " | ".join(f"{n} ours / ref" for n in NAMES) + " |",
+             "|---|" + "---|" * len(NAMES)]
+    for fname in REF_L2:
+        row = [fname]
+        for (model, grad), rv in zip(COLS, ref[fname]):
+            ours = cell(results, fname, model, grad, field)
+            row.append(f"{fmt(ours)} / {rv:.1e}")
+        lines.append("| " + " | ".join(row) + " |")
+    return "\n".join(lines)
+
+
+def main():
+    with open(os.path.join(HERE, "accuracy_results_cpu_f64.json")) as fh:
+        results = json.load(fh)
+    better = worse = 0
+    for fname in REF_L2:
+        for (model, grad), rv in zip(COLS, REF_L2[fname]):
+            ours = cell(results, fname, model, grad, "l2_rel_err")
+            if ours is None:
+                continue
+            if ours <= rv * 1.5:
+                better += 1
+            else:
+                worse += 1
+    out = f"""# BASELINE_REPRO — accuracy parity vs the reference's published tables
+
+Protocol: the probnum25 benchmark (BASELINE.md; reference
+docs/examples/probnum25_paper/probnum25_paper.ipynb cell 15) reproduced by
+`examples/benchmark_suite.py --grad` on CPU float64: n = 2^10 training
+points, default fit (Rprop, early stopping), L2 relative error on 2^12
+Halton (seed 17) test points, MLL = best over the fit history.  "SE" is
+StandardGP on rank-1 lattice points; "SI" FastGPLattice alpha=2; "DSI"
+FastGPDigitalNetB2 alpha=4 (DS randomization); grad variants observe
+(f, grad f) as d+1 tasks; Baker transform on the lattice model for
+Branin/Hartmann grad runs.
+
+Point sets and RNG streams differ from the reference (our own CBC lattice /
+Sobol' tables and randomizations), so cells agree in the Monte-Carlo-error
+sense, not digit-for-digit.  Cells where our L2 is within 1.5x of the
+reference or better: **{better} / {better + worse}**.
+
+Raw results: `examples/accuracy_results_cpu_f64.json`.
+
+## L2 relative error (ours / reference)
+
+{table(results, "l2_rel_err", REF_L2)}
+
+## Best attained MLL (ours / reference)
+
+{table(results, "mll", REF_MLL)}
+
+## Time per fit step, seconds (ours on 2-core CPU f64 / reference CPU)
+
+Hardware differs (the reference's CPU is unspecified; ours is a 2-core
+container also running the TPU relay).  The TPU production numbers are in
+BENCH_MATRIX.json (e.g. lattice MLL steps at n=2^20: 641/s — the reference
+extrapolates to ~1 s/step at that size).
+
+{table(results, "time_per_step", REF_TIME)}
+
+## Notes / explained deviations
+
+* `hartmann/standard/grad` is capped at 25 fit iterations (the 7168-wide
+  dense multitask system is hours per full fit on this container; accuracy
+  at the cap is reported as-is).
+* DSI grad cells are poor in BOTH columns: the reference's own published
+  DSI (f, grad f) errors are 3.5e-1..1.1e1.  Root cause (found while
+  debugging): the DSI derivative kernel's DC block [[1, -2g],[-2g, 4g]]
+  has det 4g(1-g) — the joint (f, df) model is PSD only for lengthscales
+  g <= 1, so the MLL fit legitimately visits indefinite Gram matrices.
+  Our solver handles them the way the reference's Schur recursion does
+  (LU inverse + log|det|).
+* Several SE cells are orders of magnitude BETTER than the reference
+  (camel 2.2e-3 vs 2.5e-1, stytang 9.8e-4 vs 1.3e0): the trace-relative
+  nugget floor keeps the dense fit numerically sane where the reference's
+  fit stalls.
+"""
+    with open(os.path.join(ROOT, "BASELINE_REPRO.md"), "w") as fh:
+        fh.write(out)
+    print(f"wrote BASELINE_REPRO.md ({better}/{better + worse} cells within 1.5x or better)")
+
+
+if __name__ == "__main__":
+    main()

@@ -149,14 +149,18 @@ class AbstractFastGP(AbstractGP):
         (parallel/mesh.sharded_fftbr/fwht/ifftbr) and `_fit_data` places
         k1parts/ytilde with the seq NamedSharding, so the whole MLL/GCV/CV
         loss (and its gradients) runs SPMD with GSPMD-inserted collectives.
-        Single-task models only (the multitask residue factorization couples
-        frequencies across tasks).  Pass ``mesh=None`` to turn off.
+        Pass ``mesh=None`` to turn off.
+
+        Single-task solves stay elementwise in frequency space (purely local
+        + scalar psums).  Multitask solves also work: the residue-class
+        reshape (r_l, n_min) crosses the shard boundary, so GSPMD inserts a
+        resharding collective around the batched (n_min, M, M) solve —
+        correct (parity-tested), with extra ICI traffic proportional to the
+        tilde vectors.
 
         Reference analog: none (single-device); this is the SURVEY section
         2.4 sequence-parallel component.
         """
-        assert mesh is None or self.num_tasks == 1, (
-            "sequence sharding currently supports single-task models")
         self._seq_mesh = mesh
         self._seq_axis = axis
         # transforms changed: drop transform-dependent caches and re-jit

