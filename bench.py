@@ -21,6 +21,7 @@ so vs_baseline is measured steps/s against a 1 step/s baseline.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -151,6 +152,11 @@ def _roofline_mll(n, d, complex_ft=True):
 
 
 def main():
+    t_start = time.perf_counter()
+    # total wall budget for the EXTRA matrix (headline always runs); the
+    # driver's capture window is finite — round 2's official artifact was a
+    # timeout because the headline line printed only after the whole matrix.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
     matrix = {}
 
     # headline: lattice MLL step, n=2^20, d=8
@@ -163,48 +169,64 @@ def main():
                                       "roofline_frac": round(ideal / dt, 3)}
     del gp
 
-    try:
-        gp = make_lattice(1 << 22, 8)
-        dt22 = bench_fit_steps(gp, iters=10)
-        matrix["lattice_mll_n2e22_d8"] = {
-            "value": round(1.0 / dt22, 3), "unit": "steps/s",
-            "roofline_frac": round(_roofline_mll(1 << 22, 8, True)
-                                   / (HBM_GBPS * 1e9) / dt22, 3)}
-        del gp
-
-        gp = make_dnb2(1 << 20, 8)
-        dtd = bench_fit_steps(gp)
-        matrix["dnb2_mll_n2e20_d8"] = {
-            "value": round(1.0 / dtd, 3), "unit": "steps/s",
-            "roofline_frac": round(_roofline_mll(1 << 20, 8, False)
-                                   / (HBM_GBPS * 1e9) / dtd, 3)}
-
-        matrix["dnb2_post_query_n2e20_N2e14"] = {
-            "value": round(bench_posterior(gp), 4), "unit": "s"}
-        del gp
-
-        gp = make_lattice(1 << 16, 4, num_tasks=3)
-        matrix["lattice_multitask3_mll_n2e16"] = {
-            "value": round(1.0 / bench_fit_steps(gp), 3), "unit": "steps/s"}
-        del gp
-
-        sps, diags = bench_hmc()
-        matrix["hmc_8chain_n2e14_d4"] = {
-            "value": round(sps, 2), "unit": "samples/s",
-            "rhat_max": round(max(v["rhat"] for v in diags.values()), 4)}
-    except Exception as e:  # extra configs must not break the headline line
-        matrix["error"] = f"{type(e).__name__}: {e}"
-
-    with open("BENCH_MATRIX.json", "w") as fh:
-        json.dump(matrix, fh, indent=1)
-    print(json.dumps(matrix, indent=1), file=sys.stderr)
-
+    # the headline JSON line goes out FIRST so a hang/OOM in any extra
+    # config can never cost the round its perf artifact
     print(json.dumps({
         "metric": "MLL steps/s, n=2^20 lattice, d=8, single chip",
         "value": round(steps_per_s, 3),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s / 1.0, 3),
-    }))
+    }), flush=True)
+
+    def extra(name, fn):
+        if time.perf_counter() - t_start > budget_s:
+            matrix[name] = {"skipped": f"over {budget_s:.0f}s budget"}
+        else:
+            try:
+                matrix[name] = fn()
+            except Exception as e:
+                matrix[name] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+        with open("BENCH_MATRIX.json", "w") as fh:  # incremental: survive kills
+            json.dump(matrix, fh, indent=1)
+        print(name, json.dumps(matrix[name]), file=sys.stderr, flush=True)
+
+    def _lattice22():
+        gp = make_lattice(1 << 22, 8)
+        dt22 = bench_fit_steps(gp, iters=10)
+        return {"value": round(1.0 / dt22, 3), "unit": "steps/s",
+                "roofline_frac": round(_roofline_mll(1 << 22, 8, True)
+                                       / (HBM_GBPS * 1e9) / dt22, 3)}
+
+    _dnb2_gp = []
+
+    def _dnb2_mll():
+        _dnb2_gp.append(make_dnb2(1 << 20, 8))
+        dtd = bench_fit_steps(_dnb2_gp[0])
+        return {"value": round(1.0 / dtd, 3), "unit": "steps/s",
+                "roofline_frac": round(_roofline_mll(1 << 20, 8, False)
+                                       / (HBM_GBPS * 1e9) / dtd, 3)}
+
+    def _dnb2_post():
+        gp = _dnb2_gp[0] if _dnb2_gp else make_dnb2(1 << 20, 8)
+        out = {"value": round(bench_posterior(gp), 4), "unit": "s"}
+        _dnb2_gp.clear()
+        return out
+
+    def _multitask():
+        gp = make_lattice(1 << 16, 4, num_tasks=3)
+        return {"value": round(1.0 / bench_fit_steps(gp), 3),
+                "unit": "steps/s"}
+
+    def _hmc():
+        sps, diags = bench_hmc(num_samples=50, num_warmup=50)
+        return {"value": round(sps, 2), "unit": "samples/s",
+                "rhat_max": round(max(v["rhat"] for v in diags.values()), 4)}
+
+    extra("lattice_mll_n2e22_d8", _lattice22)
+    extra("dnb2_mll_n2e20_d8", _dnb2_mll)
+    extra("dnb2_post_query_n2e20_N2e14", _dnb2_post)
+    extra("lattice_multitask3_mll_n2e16", _multitask)
+    extra("hmc_8chain_n2e14_d4", _hmc)
 
 
 if __name__ == "__main__":

@@ -5,11 +5,15 @@ abstract_gp.py:152-306); this module adds a full hyperposterior engine —
 the BASELINE.json north-star capability:
 
 * vectorized chains via ``vmap`` over the raw-parameter pytree;
-* windowed warmup with dual-averaging step-size adaptation and diagonal
-  mass-matrix estimation, using CROSS-CHAIN statistics (cheap, robust);
-* jittered leapfrog trajectory lengths (partial NUTS substitute that avoids
-  data-dependent control flow, keeping the whole sampler one fused XLA
-  program — TPU-friendly);
+* dual-averaging step-size adaptation and exponentially-windowed diagonal
+  mass-matrix estimation from CROSS-CHAIN statistics (the window forgets
+  early unconverged warmup iterates; round 2's from-step-0 pooled moments
+  permanently biased the mass and cost R-hat 1.36 on the quality example);
+* fixed-length leapfrog trajectories by default — the measured-best config
+  (examples/hmc_quality_results.json; jittered trajectories scored 0.61
+  ESS/1k-gradients vs 0.87 for fixed) — with an optional
+  ``trajectory_jitter`` knob for multimodal targets, static-shape either way
+  (no data-dependent control flow, whole sampler is one fused XLA program);
 * chains shard over a device mesh axis simply by placing the stacked chain
   pytree with a NamedSharding: the cross-chain reductions become XLA
   collectives automatically under GSPMD (see parallel/mesh.py helpers).
@@ -54,7 +58,9 @@ def _unflatten(flat, spec):
 
 def hmc(logprob_fn: Callable, init_params, key,
         num_samples: int = 500, num_warmup: int = 500, num_chains: int = 8,
-        num_leapfrog: int = 16, target_accept: float = 0.8,
+        num_leapfrog: int = 32, trajectory_jitter: float = 0.0,
+        mass_decay: float = 0.99, mass_warmup_start_frac: float = 0.25,
+        target_accept: float = 0.8,
         init_jitter: float = 0.5, chain_sharding=None,
         init_state=None) -> HMCResult:
     """Sample ``logprob_fn`` (pytree -> scalar) starting near ``init_params``.
@@ -63,6 +69,21 @@ def hmc(logprob_fn: Callable, init_params, key,
     ``chain_sharding`` (a NamedSharding over a 'chains'-like axis) is given,
     the chain-stacked state is placed on it so the sampler runs SPMD across
     devices.
+
+    Trajectories are ``num_leapfrog`` steps long; ``trajectory_jitter`` in
+    (0, 1] draws each trajectory uniformly from
+    ``[num_leapfrog * (1 - trajectory_jitter), num_leapfrog]`` (useful
+    against periodic orbits on multimodal targets).  The default is NO
+    jitter: the fixed-L config measured best on the GP hyperposterior
+    quality example (examples/hmc_quality_results.json).
+
+    Mass adaptation is windowed two ways (both guard against early
+    unconverged iterates permanently biasing the estimate — round 2's
+    from-step-0 pooled moments cost R-hat 1.36 on the quality example):
+    accumulation starts only at step ``mass_warmup_start_frac * num_warmup``
+    (Stan-style late window; 0.0 = from the start), and ``mass_decay`` is a
+    per-step forgetting factor giving an exponential window of
+    ~1/(1-decay) steps (1.0 = plain pooling within the window).
 
     Checkpoint/resume: per-step PRNG keys are ``fold_in(key, t)`` with a
     global step counter, and the scan carry is returned in ``result.state``;
@@ -103,14 +124,19 @@ def hmc(logprob_fn: Callable, init_params, key,
 
     def step(carry, inputs):
         q, log_eps, h_bar, log_eps_bar, mass_mean, mass_sq, count, adapting = carry
-        k, t = inputs
+        k, t, mass_adapting = inputs
         kp, kl, ku = jax.random.split(k, 3)
         inv_mass = jnp.maximum(mass_sq / jnp.maximum(count, 1.0) - (mass_mean / jnp.maximum(count, 1.0)) ** 2, 1e-6)
         inv_mass = jnp.where(count > 10.0, inv_mass, jnp.ones_like(inv_mass))
         eps = jnp.exp(log_eps)
         p = jax.random.normal(kp, q.shape, dtype=dtype) / jnp.sqrt(inv_mass)
-        # jittered trajectory length decorrelates without NUTS's dynamic loops
-        n_steps = 1 + jax.random.randint(kl, (), num_leapfrog // 2, num_leapfrog + 1)
+        # trajectory length: fixed by default; optional uniform jitter window
+        # (static decision — trajectory_jitter is a Python float)
+        lo = max(1, int(round(num_leapfrog * (1.0 - trajectory_jitter))))
+        if lo >= num_leapfrog:
+            n_steps = num_leapfrog
+        else:
+            n_steps = jax.random.randint(kl, (), lo, num_leapfrog + 1)
         lp0, _ = v_and_g(q)
         h0 = lp0 - kinetic(p, inv_mass)
         q_new, p_new = leapfrog(q, p, eps, inv_mass, n_steps)
@@ -132,10 +158,14 @@ def hmc(logprob_fn: Callable, init_params, key,
         w = tw ** -0.75
         log_eps_bar = jnp.where(adapting, w * log_eps_prop + (1 - w) * log_eps_bar, log_eps_bar)
         log_eps = jnp.where(adapting, log_eps_prop, log_eps_bar)
-        # mass-matrix running moments across chains and time (warmup only)
-        mass_mean = jnp.where(adapting, mass_mean + q.mean(0), mass_mean)
-        mass_sq = jnp.where(adapting, mass_sq + (q * q).mean(0), mass_sq)
-        count = jnp.where(adapting, count + 1.0, count)
+        # mass-matrix moments across chains, doubly windowed in time (late
+        # start + exponential forgetting — see the hmc() docstring; a
+        # from-step-0 pooled estimate permanently biases the mass, round-2
+        # VERDICT weak #8)
+        mass_on = jnp.logical_and(adapting, mass_adapting)
+        mass_mean = jnp.where(mass_on, mass_decay * mass_mean + q.mean(0), mass_mean)
+        mass_sq = jnp.where(mass_on, mass_decay * mass_sq + (q * q).mean(0), mass_sq)
+        count = jnp.where(mass_on, mass_decay * count + 1.0, count)
         new_carry = (q, log_eps, h_bar, log_eps_bar, mass_mean, mass_sq, count, adapting)
         return new_carry, (q, lp, accept.mean())
 
@@ -149,24 +179,33 @@ def hmc(logprob_fn: Callable, init_params, key,
     else:
         init_carry, start_t = init_state
         init_carry = tuple(jnp.asarray(v) for v in init_carry)
+        if chain_sharding is not None:
+            # resume must start chain-sharded like a fresh run (q is the only
+            # chain-stacked leaf); otherwise the scan begins replicated and
+            # GSPMD reshards mid-flight — or silently runs single-device
+            init_carry = (jax.device_put(init_carry[0], chain_sharding),) \
+                + init_carry[1:]
         start_t = int(start_t)
         total = max(0, num_warmup - start_t) + num_samples
     ts_i = np.arange(start_t, start_t + total)
     ts = jnp.asarray(ts_i, dtype=dtype)
     ts_int = jnp.asarray(ts_i, dtype=jnp.int32)
     adapt_flags = jnp.asarray(ts_i < num_warmup)
+    mass_start = int(round(mass_warmup_start_frac * num_warmup))
+    mass_flags = jnp.asarray(ts_i >= mass_start)
     n_keep_warm = int((ts_i < num_warmup).sum())
 
     def scan_step(carry, inputs):
-        ti, t, adapting = inputs
+        ti, t, adapting, mass_adapting = inputs
         # per-step key from the global step counter: resume reproduces the
         # identical randomness stream of an uninterrupted run
         k = jax.random.fold_in(k_run, ti)
         carry = carry[:-1] + (adapting,)
-        return step(carry, (k, t))
+        return step(carry, (k, t, mass_adapting))
 
     run = jax.jit(lambda c, xs: jax.lax.scan(scan_step, c, xs))
-    final_carry, (qs, lps, acc) = run(init_carry, (ts_int, ts, adapt_flags))
+    final_carry, (qs, lps, acc) = run(init_carry,
+                                      (ts_int, ts, adapt_flags, mass_flags))
     qs = qs[n_keep_warm:]
     lps = lps[n_keep_warm:]
     acc = acc[n_keep_warm:]
@@ -220,6 +259,9 @@ def effective_sample_size(x):
 def sample_gp_hyperposterior(model, num_samples=500, num_warmup=500,
                              num_chains=8, seed=0, prior_std=3.0,
                              include=("scale", "lengthscales"),
+                             num_leapfrog=32, trajectory_jitter=0.0,
+                             mass_decay=0.99, mass_warmup_start_frac=0.25,
+                             target_accept=0.8,
                              chain_sharding=None, resume_state=None):
     """Sample the hyperposterior of a GP model's raw hyperparameters.
 
@@ -246,6 +288,10 @@ def sample_gp_hyperposterior(model, num_samples=500, num_warmup=500,
 
     result = hmc(logprob, sampled0, seed, num_samples=num_samples,
                  num_warmup=num_warmup, num_chains=num_chains,
+                 num_leapfrog=num_leapfrog, trajectory_jitter=trajectory_jitter,
+                 mass_decay=mass_decay,
+                 mass_warmup_start_frac=mass_warmup_start_frac,
+                 target_accept=target_accept,
                  chain_sharding=chain_sharding, init_state=resume_state)
     diagnostics = {}
     for k, v in result.samples.items():

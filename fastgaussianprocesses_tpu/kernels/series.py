@@ -18,6 +18,7 @@ coefficients.
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -163,6 +164,76 @@ def kernel_fused(part_dim_fn, x_or_b, z_or_b, ominus, beta0: np.ndarray,
                 lsj = lsj.reshape(lsj.shape + (1,) * sp_ndim)
                 term = ind + lsj * part
                 prod = term if prod is None else prod * term
+            w = float(c0[i0] * c1[i1])
+            contrib = prod if w == 1.0 else w * prod
+            total = contrib if total is None else total + contrib
+    scale_r = scale[..., 0].reshape(scale.shape[:-1] + (1,) * sp_ndim)
+    return scale_r * total
+
+
+def kernel_fused_scan(part_dim_fn, x_or_b, z_or_b, ominus, beta0: np.ndarray,
+                      beta1: np.ndarray, c0, c1, scale, lengthscales, alpha):
+    """:func:`kernel_fused` with the dimension product under a ``lax.scan``.
+
+    The hand-streamed per-dimension deltas of :func:`kernel_fused` do not
+    survive XLA: CSE + horizontal fusion merge the d slice-XORs back into one
+    ``(N, n, d)`` integer tensor plus d-wide elementwise temporaries — at
+    query scale (N-chunk=16..64, n=2^20, d=8) that was 42 GB of HLO temp
+    against 16 GB of HBM (round-2 ``BENCH_MATRIX.json`` OOM record).  A scan
+    compiles its body ONCE, so the live set is provably O(N*n) regardless of
+    d: the running product carry plus a few body temporaries.
+
+    Dimensions are grouped by their static series signature
+    ``(alpha_j, beta0_j, beta1_j)`` (the series order must be a Python int —
+    it selects polynomial coefficients); each group scans over its stacked
+    per-dimension inputs.  Same math as kernel_parts + kernel_from_parts
+    (reference abstract_fast_gp.py:173-191); oracle-tested equal in tests.
+
+    Args:
+        alpha: per-dimension smoothness (length-d static int vector) — the
+            only model-dependent piece of the group key.
+    """
+    d = x_or_b.shape[-1]
+    p0, p1 = len(beta0), len(beta1)
+    c0 = np.asarray(c0, dtype=np.float64)
+    c1 = np.asarray(c1, dtype=np.float64)
+    alpha = np.broadcast_to(np.asarray(alpha, dtype=np.int64), (d,))
+    ls = lengthscales + jnp.zeros((d,), dtype=scale.dtype)   # (*batch, d)
+    batch = ls.shape[:-1]
+    sp = np.broadcast_shapes(x_or_b.shape[:-1], z_or_b.shape[:-1])
+    sp_ndim = len(sp)
+    xT = jnp.moveaxis(x_or_b, -1, 0)    # (d, ...spatial-x)
+    zT = jnp.moveaxis(z_or_b, -1, 0)    # (d, ...spatial-z)
+    lsT = jnp.moveaxis(ls, -1, 0)       # (d, *batch)
+    dtype = scale.dtype
+    total = None
+    for i0 in range(p0):
+        for i1 in range(p1):
+            groups = {}
+            for j in range(d):
+                key = (int(alpha[j]), int(beta0[i0, j]), int(beta1[i1, j]))
+                groups.setdefault(key, []).append(j)
+            prod = jnp.ones(batch + sp, dtype)
+            for (_, b, k), idx in groups.items():
+                ind = 1.0 if (b + k) == 0 else 0.0
+                jrep = idx[0]
+
+                def term(xj, zj, lsj, _j=jrep, _b=b, _k=k, _ind=ind):
+                    delta = ominus(xj[..., None], zj[..., None])[..., 0]
+                    part = part_dim_fn(delta, _j, _b, _k)
+                    lsj = lsj.reshape(batch + (1,) * sp_ndim)
+                    return _ind + lsj * part
+
+                if len(idx) == 1:
+                    prod = prod * term(xT[jrep], zT[jrep], lsT[jrep])
+                else:
+                    ia = np.asarray(idx)
+
+                    def body(carry, inp, _term=term):
+                        xj, zj, lsj = inp
+                        return carry * _term(xj, zj, lsj), None
+
+                    prod, _ = jax.lax.scan(body, prod, (xT[ia], zT[ia], lsT[ia]))
             w = float(c0[i0] * c1[i1])
             contrib = prod if w == 1.0 else w * prod
             total = contrib if total is None else total + contrib

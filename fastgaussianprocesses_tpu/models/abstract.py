@@ -426,14 +426,27 @@ class AbstractGP:
             rows.append(jnp.concatenate(cols, -1)[..., None, :, :])
         return jnp.concatenate(rows, -3)
 
-    # Largest (query x train) cross-kernel block evaluated at once: bounds
-    # the device buffers to a few hundred MB at any n (the dense cross-kernel
-    # is the one O(N * n) surface in the API; the reference hits the same
-    # wall at abstract_gp.py:375 but never chunks).
-    _QUERY_CHUNK_ELEMS = 1 << 24
+    # Live-temp budget for one (query x train) cross-kernel chunk.  The
+    # dense cross-kernel is the one O(N * n) surface in the API (the
+    # reference hits the same wall at abstract_gp.py:375 but never chunks).
+    # The chunked query's peak working set is LIVE_FACTOR buffers of
+    # nb * total_n elements: the scan-fused kernel's carry + body temporaries
+    # (kernel_fused_scan bounds these to O(nb*n) regardless of d) plus the
+    # solve's transform passes over the chunk.  Round 2 counted output
+    # ELEMENTS only — ignoring dtype and the d-wide temporaries XLA rebuilt
+    # from the old fused kernel — and under-counted the dnb2 footprint ~20x
+    # (42 GB HLO temp vs 16 GB HBM at n=2^20; BENCH_MATRIX.json r2 record).
+    # LIVE_FACTOR is measured: compiled memory_analysis of the var query
+    # shows 5.5 (lattice, complex FFT temps) / 4.3 (dnb2) buffers of
+    # nb*total_n live; 8 adds margin.  With the 3 GB budget the actual peak
+    # is ~2 GB of a 16 GB HBM, and chunks stay large enough to feed the VPU.
+    _QUERY_CHUNK_BYTES = 3_000_000_000
+    _QUERY_LIVE_FACTOR = 8
 
     def _query_chunk_size(self, N: int, total_n: int) -> int:
-        return int(max(1, min(N, self._QUERY_CHUNK_ELEMS // max(total_n, 1))))
+        itemsize = jnp.dtype(self.dtype).itemsize
+        per_row = self._QUERY_LIVE_FACTOR * max(total_n, 1) * itemsize
+        return int(max(1, min(N, self._QUERY_CHUNK_BYTES // per_row)))
 
     def _map_query_chunks(self, per_chunk, x, nb):
         """Evaluate ``per_chunk(xq_block) -> (..., nb)`` over query chunks.

@@ -387,10 +387,13 @@ class AbstractFastGP(AbstractGP):
         raise NotImplementedError
 
     def _kernel_explicit(self, x0, x1, beta0, beta1, c0, c1, scale, lengthscales):
-        # fused per-dimension accumulation: (N, n)-sized buffers only, never
+        # scan-fused per-dimension accumulation: live buffers are O(N * n)
+        # regardless of d — never the (N, n, d) delta stack XLA reassembled
+        # from the plain fused path (42 GB at N-chunk=64, n=2^20, d=8), nor
         # the (N, n, p0, p1, d) parts stack (550 GB at N=2^14, n=2^20, d=8)
-        return series.kernel_fused(self._part_dim, x0, x1, self._ominus,
-                                   beta0, beta1, c0, c1, scale, lengthscales)
+        return series.kernel_fused_scan(self._part_dim, x0, x1, self._ominus,
+                                        beta0, beta1, c0, c1, scale,
+                                        lengthscales, self.alpha)
 
     # -- fast cubature (abstract_fast_gp.py:65-154) ----------------------
     def post_cubature_mean(self, task=None):

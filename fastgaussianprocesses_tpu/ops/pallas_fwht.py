@@ -12,11 +12,12 @@ Math: with n = n1*n2 and a row x viewed as the row-major matrix X of shape
 factors are plain 2D matmuls, which Mosaic compiles natively — the earlier
 3D ``dot_general`` formulation was rejected by this backend's Mosaic build.
 
-Sizes: the fused kernel covers 2^14 <= n <= 2^17 (one row slab of
-4*2^17 f32 = 2 MB fits VMEM comfortably).  For n up to 2^22 a hybrid
-splits H_n = H_{n/2^17} (x) H_{2^17}: the wide inner factor runs in Pallas
-and the small outer factor is a single XLA contraction — two HBM round
-trips total vs three-plus for the factorized XLA path.
+Sizes: the fused kernel covers 2^14 <= n <= 2^18 (= _M_FUSED_MAX; one row
+slab of 4*2^18 f32 = 1 MB fits VMEM, m=19 fails Mosaic VMEM limits).  For n
+up to 2^22 a hybrid splits H_n = H_{n/2^18} (x) H_{2^18}: the wide inner
+factor runs in Pallas and the small outer factor is a single XLA
+contraction — two HBM round trips total vs three-plus for the factorized
+XLA path.
 
 The transform is linear and self-adjoint, so its VJP is itself — autodiff
 never differentiates through the kernel body.
@@ -127,8 +128,8 @@ def _fwht_impl(x, interpret):
     if m <= _M_FUSED_MAX:
         out = _fwht_fused(xb, m, inv_sqrt_n, interpret)
     else:
-        # hybrid: H_n = H_no (x) H_ni with ni = 2^17; inner factor fused in
-        # Pallas (full normalization folded in), outer factor one XLA matmul
+        # hybrid: H_n = H_no (x) H_ni with ni = 2^_M_FUSED_MAX; inner factor
+        # fused in Pallas (full normalization folded in), outer one XLA matmul
         mi = _M_FUSED_MAX
         ni, no = 1 << mi, 1 << (m - mi)
         B = xb.shape[0]
@@ -162,10 +163,10 @@ def _on_tpu() -> bool:
 
 def fwht_best(x):
     """FWHT dispatch: fused Pallas kernel on TPU for f32 at supported sizes,
-    XLA contraction path otherwise.  Measured on the v5e chip (bench_fwht.py,
-    scan-chained timing with host-fetch sync): speedup vs the XLA path is
-    1.78x (m=17, B=8), 1.25x (m=18, B=8), 5.67x (m=20, B=8), ~1.0x at B=1;
-    never slower beyond noise (worst 0.97x)."""
+    XLA contraction path otherwise.  Measured per-(m, B) wall times and
+    speedups on the real chip are the committed artifact FWHT_BENCH.json,
+    regenerated by examples/bench_fwht.py (scan-chained timing with
+    host-fetch sync)."""
     from . import transforms as tr
 
     n = x.shape[-1]

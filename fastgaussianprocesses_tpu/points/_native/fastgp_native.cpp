@@ -47,7 +47,10 @@ void sobol_natural(const uint32_t* cols, int d, int m_max,
         // advance i -> i+1: bits [0, z] flip where z = count of trailing ones
         uint64_t ip = i + 1;
         uint64_t changed = i ^ ip;  // mask of flipped bits
-        for (int b = 0; changed >> b; ++b) {
+        // b < m_max guard: when n_max == 2^m_max the final increment flips
+        // bit m_max, which has no column — without the bound that read is
+        // one past the cols row (past the whole array for j == d-1)
+        for (int b = 0; b < m_max && (changed >> b); ++b) {
             if ((changed >> b) & 1ull) {
                 for (int j = 0; j < d; ++j) state[j] ^= cols[(size_t)j * m_max + b];
             }
@@ -73,7 +76,7 @@ void sobol_natural64(const uint64_t* cols, int d, int m_max,
         for (int j = 0; j < d; ++j) row[j] = state[j] ^ shift[j];
         uint64_t ip = i + 1;
         uint64_t changed = i ^ ip;
-        for (int b = 0; changed >> b; ++b) {
+        for (int b = 0; b < m_max && (changed >> b); ++b) {  // see 32-bit variant
             if ((changed >> b) & 1ull) {
                 for (int j = 0; j < d; ++j) state[j] ^= cols[(size_t)j * m_max + b];
             }

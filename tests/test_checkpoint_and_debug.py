@@ -34,6 +34,38 @@ def test_checkpoint_roundtrip(tmp_path, model_cls):
     assert fresh.n[0] == 128
 
 
+@pytest.mark.parametrize("force_numpy_fallback", [False, True])
+def test_checkpoint_roundtrip_t53_digital_net(tmp_path, monkeypatch,
+                                              force_numpy_fallback):
+    """t=53 nets carry uint64 digits; restore must keep the incremental _xb
+    buffer in the net's own index dtype (round-2 load_state reset it to
+    uint32, silently truncating on the numpy fallback path)."""
+    from fastgaussianprocesses_tpu.points import native
+    from fastgaussianprocesses_tpu.points.digital_net import DigitalNetB2
+
+    if force_numpy_fallback:
+        monkeypatch.setattr(native, "sobol_natural64", lambda *a: None)
+    seq = DigitalNetB2(2, seed=5, randomize="DS", t=53)
+    fgp = FastGPDigitalNetB2(seq, noise=1e-4, alpha=2)
+    x = np.asarray(fgp.get_x_next(64))
+    fgp.add_y_next(jnp.asarray(np.sin(2 * np.pi * x[:, 0])))
+    xq = np.random.default_rng(1).uniform(size=(7, 2))
+    want_pm = np.asarray(fgp.post_mean(xq))
+    want_pv = np.asarray(fgp.post_var(xq))
+    path = str(tmp_path / "ckpt53.npz")
+    save_state(fgp, path)
+    fresh = FastGPDigitalNetB2(DigitalNetB2(2, seed=404, randomize="DS", t=53),
+                               noise=1e-4, alpha=2)
+    load_state(fresh, path)
+    assert fresh.seqs[0]._xb.dtype == np.uint64
+    np.testing.assert_allclose(np.asarray(fresh.x), np.asarray(fgp.x), atol=0)
+    np.testing.assert_allclose(np.asarray(fresh.post_mean(xq)), want_pm, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fresh.post_var(xq)), want_pv, atol=1e-10)
+    # doubling continues exactly from the restored buffer in both modes
+    np.testing.assert_allclose(np.asarray(fresh.get_x_next(128)),
+                               np.asarray(fgp.get_x_next(128)), atol=0)
+
+
 def test_debug_oracle_runs(monkeypatch):
     monkeypatch.setenv("FASTGPS_TPU_DEBUG", "1")
     fgp = FastGPLattice(2, seed_for_seq=3, noise=1e-4)

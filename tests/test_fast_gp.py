@@ -215,9 +215,41 @@ def test_posterior_query_chunking_matches_unchunked(model_cls):
     want_m = np.asarray(fgp.post_mean(x))
     want_v = np.asarray(fgp.post_var(x))
     fgp2 = _make(model_cls, 2**7, d=2, noise=1e-4)
-    fgp2._QUERY_CHUNK_ELEMS = 8 * 128  # chunk size 8 queries
+    # budget for exactly 8 query rows against total_n=128 training points
+    fgp2._QUERY_CHUNK_BYTES = (8 * fgp2._QUERY_LIVE_FACTOR * 128
+                               * jnp.dtype(fgp2.dtype).itemsize)
     assert fgp2._query_chunk_size(37, int(fgp2.n.sum())) == 8
     got_m = np.asarray(fgp2.post_mean(x))
     got_v = np.asarray(fgp2.post_var(x))
     np.testing.assert_allclose(got_m, want_m, atol=1e-12)
     np.testing.assert_allclose(got_v, want_v, atol=1e-12)
+
+
+@pytest.mark.parametrize("model_cls", [FastGPLattice, FastGPDigitalNetB2])
+def test_query_compiled_temp_memory_within_budget(model_cls):
+    """The chunked posterior executable's compiled temp allocation respects
+    the _QUERY_CHUNK_BYTES live-set budget.
+
+    Guards against the round-2 dnb2 OOM: XLA horizontally re-fused the
+    per-dimension delta slices into (chunk, n, d) temporaries, blowing the
+    footprint ~20x past the heuristic (42 GB HLO temp vs 16 GB HBM at
+    n=2^20, d=8).  kernel_fused_scan bounds the live set to O(chunk * n)
+    regardless of d; this asserts it at compile level via memory_analysis.
+    """
+    n, d = 2**12, 8
+    fgp = _make(model_cls, n, d=d, noise=1e-4)
+    budget = 8_000_000  # forces chunking: nb ~ budget / (12 * n * 8B) = 20
+    fgp._QUERY_CHUNK_BYTES = budget
+    nb = fgp._query_chunk_size(256, n)
+    assert 1 < nb < 256
+    x = np.random.default_rng(3).uniform(size=(256, d))
+    v = np.asarray(fgp.post_var(x))
+    assert np.isfinite(v).all() and (v >= 0).all()
+    (key,) = [k for k in fgp._post_jit if "var" in k]
+    lowered = fgp._post_jit[key].lower(fgp._raw_dict(),
+                                       jnp.asarray(x, fgp.dtype))
+    mem = lowered.compile().memory_analysis()
+    # 2x slack: the budget models the dominant (chunk x n) buffers only;
+    # XLA adds bounded small temporaries (coeff vectors, task blocks)
+    assert mem.temp_size_in_bytes < 2 * budget, (
+        f"temp {mem.temp_size_in_bytes} vs budget {budget} (chunk {nb})")
