@@ -123,9 +123,15 @@ def bench_posterior(gp, n_query=1 << 14, reps=3):
 
 
 def bench_hmc(n=1 << 14, d=4, num_chains=8, num_samples=100, num_warmup=100):
+    """HMC THROUGHPUT cell (samples/s).  The model is MAP-warm-started (the
+    standard hyperposterior workflow); the reported rhat is a diagnostic at
+    this deliberately small bench budget and is NOT the sampler's quality
+    bar — that is examples/hmc_quality_results.json (max R-hat 1.0016 at the
+    400/400 protocol)."""
     from fastgaussianprocesses_tpu.fit.hmc import sample_gp_hyperposterior
 
     gp = make_lattice(n, d)
+    gp.fit(iterations=30, verbose=0)
     t0 = time.perf_counter()
     result, diags = sample_gp_hyperposterior(
         gp, num_samples=num_samples, num_warmup=num_warmup,
@@ -220,7 +226,8 @@ def main():
     def _hmc():
         sps, diags = bench_hmc(num_samples=50, num_warmup=50)
         return {"value": round(sps, 2), "unit": "samples/s",
-                "rhat_max": round(max(v["rhat"] for v in diags.values()), 4)}
+                "rhat_max_at_bench_budget":
+                    round(max(v["rhat"] for v in diags.values()), 4)}
 
     extra("lattice_mll_n2e22_d8", _lattice22)
     extra("dnb2_mll_n2e20_d8", _dnb2_mll)

@@ -23,6 +23,15 @@ class _FastSolver:
     ``data``: optional (k1parts_list, ytildes_list) pytree passed explicitly
     so jitted losses receive the large param-independent arrays as arguments
     rather than closure constants (keeps executables small and donatable).
+
+    Documented deviation from the reference's ``_LamCaches`` doubling
+    butterfly (util.py:113-132): lam (first-column eigenvalues) is recomputed
+    from the cached series parts inside every jitted solve.  Measured on the
+    real chip (LAM_RECOMPUTE.json): the full lam + factorization build at
+    n=2^20, d=8 costs 1.5 ms — 0.07% of the posterior query it rides in —
+    so the butterfly's O(n) merge would be pure complexity with no
+    measurable win on this hardware.  During fit the reference recomputes
+    too (params change every step).
     """
 
     def __init__(self, model, raw, n, data=None):
@@ -78,6 +87,20 @@ class _FastSolver:
         zst = fs.solve_tilde(self.factor, yst, extra_ndim=extra_ndim)
         zs = [jnp.real(self.model._ift(z)) for z in zst]
         return jnp.concatenate(zs, -1)
+
+    def gram_quad_diag(self, ycat, extra_ndim=0):
+        """Diagonal of ``Y K^-1 Y^T`` for stacked rows ``ycat``.
+
+        Entirely in tilde space: the transforms are unitary (the _stabilize
+        wrapper is an exact identity), so ``y^T K^-1 y = sum_l <y~_l, z~_l>``
+        by Parseval — skipping gram_matrix_solve's inverse transform and the
+        real-space re-multiply saves one transform pass plus one read of the
+        (..., sum n) block per posterior-variance chunk.
+        """
+        ys = self._split(ycat)
+        yst = [self.model._ft(y) for y in ys]
+        zst = fs.solve_tilde(self.factor, yst, extra_ndim=extra_ndim)
+        return sum(jnp.real(jnp.conj(a) * b).sum(-1) for a, b in zip(yst, zst))
 
     def _ytildes(self):
         if self._data is not None:

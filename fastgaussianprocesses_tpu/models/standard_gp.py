@@ -125,6 +125,10 @@ class _StandardSolver:
             inv = inv.reshape(inv.shape[:-2] + (1,) * extra_ndim + inv.shape[-2:])
         return jnp.einsum("...ij,...j->...i", inv, ycat)
 
+    def gram_quad_diag(self, ycat, extra_ndim=0):
+        """Diagonal of ``Y K^-1 Y^T`` (dense path: solve then contract)."""
+        return (self.gram_matrix_solve(ycat, extra_ndim=extra_ndim) * ycat).sum(-1)
+
     def _ycat(self):
         m = self.model
         return jnp.concatenate(

@@ -166,11 +166,14 @@ def fwht_best(x):
     XLA contraction path otherwise.  Measured per-(m, B) wall times and
     speedups on the real chip are the committed artifact FWHT_BENCH.json,
     regenerated by examples/bench_fwht.py (scan-chained timing with
-    host-fetch sync)."""
+    host-fetch sync).  The single-row hybrid (B=1, m > _M_FUSED_MAX) is the
+    one measured regression (0.90x at m=22) and routes to XLA."""
     from . import transforms as tr
 
     n = x.shape[-1]
-    if (_on_tpu() and x.dtype == jnp.float32
-            and n == (n & -n) and _M_MIN <= log2_int(n) <= _M_HYBRID_MAX):
+    m = log2_int(n) if n == (n & -n) else -1
+    batch = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    if (_on_tpu() and x.dtype == jnp.float32 and _M_MIN <= m <= _M_HYBRID_MAX
+            and not (batch == 1 and m > _M_FUSED_MAX)):
         return fwht_pallas(x)
     return tr.fwht(x)
