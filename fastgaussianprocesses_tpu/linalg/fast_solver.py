@@ -114,6 +114,44 @@ def _pair_block(lam, r0: int, r1: int, n_min: int):
     return lr[..., :, None] * mask
 
 
+def _inv_logdet_closed(theta, m: int):
+    """Cofactor inverse + log|det| for batched m x m blocks, m <= 3.
+
+    Fully elementwise over the (..., n_min) batch — XLA fuses it into a
+    handful of vector ops, where batched ``jnp.linalg.inv`` of tiny blocks
+    runs a pivoted LU per matrix (the dominant cost of a multitask MLL step
+    at n_min = 2^16: ~127 ms/step before, see BENCH_MATRIX
+    lattice_multitask3).  Complex blocks stay in native complex elementwise
+    arithmetic (it is complex LU the TPU backend lacks, not complex mul).
+    The relative ridge added by the caller bounds the conditioning, making
+    the unpivoted closed form safe at these sizes.
+    """
+    if m == 1:
+        a = theta[..., 0, 0]
+        det = a
+        inv = (1.0 / a)[..., None, None]
+    elif m == 2:
+        a, b = theta[..., 0, 0], theta[..., 0, 1]
+        c, d = theta[..., 1, 0], theta[..., 1, 1]
+        det = a * d - b * c
+        inv = jnp.stack([jnp.stack([d, -b], -1),
+                         jnp.stack([-c, a], -1)], -2) / det[..., None, None]
+    else:  # m == 3
+        a, b, c = theta[..., 0, 0], theta[..., 0, 1], theta[..., 0, 2]
+        d, e, f = theta[..., 1, 0], theta[..., 1, 1], theta[..., 1, 2]
+        g, h, i = theta[..., 2, 0], theta[..., 2, 1], theta[..., 2, 2]
+        A = e * i - f * h
+        B = -(d * i - f * g)
+        C = d * h - e * g
+        det = a * A + b * B + c * C
+        adj = jnp.stack([
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], -1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], -1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], -1)], -2)
+        inv = adj / det[..., None, None]
+    return inv, jnp.log(jnp.abs(det))
+
+
 def factorize(lams: dict, n_sorted, task_order, inv_task_order) -> FastFactor:
     """Factorize the frequency-space system: batched inverse + logdet."""
     T = len(n_sorted)
@@ -153,6 +191,11 @@ def factorize(lams: dict, n_sorted, task_order, inv_task_order) -> FastFactor:
     # points mid-fit.  The reference's recursive Schur inverse + log|lam|
     # (util.py:299-323) tolerates this; a Cholesky would emit NaNs and kill
     # the fit.  LU matches that semantics batched on the MXU.
+    if m <= 3:
+        inv, logdet_p = _inv_logdet_closed(theta, m)
+        return FastFactor(lam_eff=None, inv=inv, logdet=logdet_p.sum(-1),
+                          n_sorted=tuple(n_sorted), task_order=tuple(task_order),
+                          inv_task_order=tuple(inv_task_order))
     if jnp.iscomplexobj(theta):
         # Real embedding E(A) = [[Re, -Im], [Im, Re]]: E(A)^-1 = E(A^-1) and
         # det E = |det A|^2.  TPU backends lack complex LU; this stays in
