@@ -96,6 +96,27 @@ def make_lattice(n, d, num_tasks=None, seed=7):
     return gp
 
 
+def make_lattice_grad(n, d, seed=7):
+    """Derivative-informed lattice GP: (f, grad f) as d+1 tasks (M = d+1
+    frequency blocks -> the recursive-Schur inverse path)."""
+    from fastgaussianprocesses_tpu import FastGPLattice
+
+    dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
+    derivs = [np.zeros((1, d), dtype=np.int64)] + \
+        [e[None, :] for e in np.eye(d, dtype=np.int64)]
+    gp = FastGPLattice(d, num_tasks=d + 1, seed_for_seq=seed, dtype=dtype,
+                       alpha=2, derivatives=derivs)
+    tasks = list(range(d + 1))
+    xs = gp.get_x_next([n] * (d + 1), tasks)
+    ys = [jnp.asarray(np.sin(2 * np.pi * np.asarray(xs[0])[:, 0]), dtype=dtype)]
+    for j in range(d):
+        ys.append(jnp.asarray(
+            2 * np.pi * np.cos(2 * np.pi * np.asarray(xs[j + 1])[:, 0])
+            * (j == 0), dtype=dtype))
+    gp.add_y_next(ys, tasks)
+    return gp
+
+
 def make_dnb2(n, d, seed=7):
     from fastgaussianprocesses_tpu import FastGPDigitalNetB2
 
@@ -223,6 +244,11 @@ def main():
         return {"value": round(1.0 / bench_fit_steps(gp), 3),
                 "unit": "steps/s"}
 
+    def _grad_informed():
+        gp = make_lattice_grad(1 << 14, 3)
+        return {"value": round(1.0 / bench_fit_steps(gp), 3),
+                "unit": "steps/s"}
+
     def _hmc():
         sps, diags = bench_hmc(num_samples=50, num_warmup=50)
         return {"value": round(sps, 2), "unit": "samples/s",
@@ -233,6 +259,7 @@ def main():
     extra("dnb2_mll_n2e20_d8", _dnb2_mll)
     extra("dnb2_post_query_n2e20_N2e14", _dnb2_post)
     extra("lattice_multitask3_mll_n2e16", _multitask)
+    extra("lattice_grad_d3_mll_n2e14", _grad_informed)
     extra("hmc_8chain_n2e14_d4", _hmc)
 
 
