@@ -9,11 +9,12 @@ the BASELINE.json north-star capability:
   mass-matrix estimation from CROSS-CHAIN statistics (the window forgets
   early unconverged warmup iterates; round 2's from-step-0 pooled moments
   permanently biased the mass and cost R-hat 1.36 on the quality example);
-* fixed-length leapfrog trajectories by default — the measured-best config
-  (examples/hmc_quality_results.json; jittered trajectories scored 0.61
-  ESS/1k-gradients vs 0.87 for fixed) — with an optional
-  ``trajectory_jitter`` knob for multimodal targets, static-shape either way
-  (no data-dependent control flow, whole sampler is one fused XLA program);
+* static-shape trajectories (no data-dependent control flow — the whole
+  sampler is one fused XLA program) with a ``trajectory_jitter`` knob;
+  generic :func:`hmc` defaults to fixed length, while
+  :func:`sample_gp_hyperposterior` defaults to the multi-seed measured-best
+  GP-hyperposterior config: 50% jitter + dense mass
+  (examples/hmc_quality_results.json);
 * chains shard over a device mesh axis simply by placing the stacked chain
   pytree with a NamedSharding: the cross-chain reductions become XLA
   collectives automatically under GSPMD (see parallel/mesh.py helpers).
@@ -60,7 +61,7 @@ def hmc(logprob_fn: Callable, init_params, key,
         num_samples: int = 500, num_warmup: int = 500, num_chains: int = 8,
         num_leapfrog: int = 32, trajectory_jitter: float = 0.0,
         mass_decay: float = 0.99, mass_warmup_start_frac: float = 0.25,
-        target_accept: float = 0.8,
+        mass_matrix: str = "diag", target_accept: float = 0.8,
         init_jitter: float = 0.5, chain_sharding=None,
         init_state=None) -> HMCResult:
     """Sample ``logprob_fn`` (pytree -> scalar) starting near ``init_params``.
@@ -85,6 +86,15 @@ def hmc(logprob_fn: Callable, init_params, key,
     per-step forgetting factor giving an exponential window of
     ~1/(1-decay) steps (1.0 = plain pooling within the window).
 
+    ``mass_matrix``: "diag" (default) estimates a diagonal inverse mass
+    from per-coordinate variances; "dense" estimates the FULL posterior
+    covariance (cross-chain + windowed-time outer moments) as the inverse
+    mass — the hyperposterior's scale/lengthscale ridge is exactly the
+    correlated geometry a diagonal mass cannot adapt to, and the dimension
+    is tiny (d+1 .. 2d) so the per-step Cholesky costs nothing next to one
+    MLL gradient.  Resume tokens are mode-specific (the dense carry holds a
+    (dim, dim) moment block).
+
     Checkpoint/resume: per-step PRNG keys are ``fold_in(key, t)`` with a
     global step counter, and the scan carry is returned in ``result.state``;
     passing it back as ``init_state`` (with the same ``key``) continues the
@@ -107,29 +117,54 @@ def hmc(logprob_fn: Callable, init_params, key,
         q0 = jax.device_put(q0, chain_sharding)
 
     v_and_g = jax.vmap(val_and_grad)
+    dense = mass_matrix == "dense"
+    assert mass_matrix in ("diag", "dense"), mass_matrix
+
+    def apply_inv_mass(inv_mass, p):
+        # inv_mass: (dim,) in diag mode, symmetric (dim, dim) in dense mode
+        return p @ inv_mass if dense else inv_mass * p
 
     def leapfrog(q, p, eps, inv_mass, n_steps):
         def body(_, carry):
             q, p = carry
             _, g = v_and_g(q)
             p = p + 0.5 * eps * g
-            q = q + eps * (inv_mass * p)
+            q = q + eps * apply_inv_mass(inv_mass, p)
             _, g = v_and_g(q)
             p = p + 0.5 * eps * g
             return q, p
         return jax.lax.fori_loop(0, n_steps, body, (q, p))
 
     def kinetic(p, inv_mass):
-        return 0.5 * ((p * p) * inv_mass).sum(-1)
+        return 0.5 * (p * apply_inv_mass(inv_mass, p)).sum(-1)
+
+    def estimate_inv_mass(mass_mean, mass_sq, count):
+        cm = jnp.maximum(count, 1.0)
+        mean_est = mass_mean / cm
+        if dense:
+            cov = mass_sq / cm - mean_est[:, None] * mean_est[None, :]
+            # trace-relative ridge keeps the windowed estimate PSD
+            ridge = 1e-6 * (jnp.trace(cov) / dim + 1.0)
+            cov = cov + ridge * jnp.eye(dim, dtype=dtype)
+            return jnp.where(count > 10.0, cov, jnp.eye(dim, dtype=dtype))
+        var = jnp.maximum(mass_sq / cm - mean_est ** 2, 1e-6)
+        return jnp.where(count > 10.0, var, jnp.ones_like(var))
+
+    def sample_momentum(kp, inv_mass):
+        z = jax.random.normal(kp, (num_chains, dim), dtype=dtype)
+        if dense:
+            # p ~ N(0, cov^-1): with cov = L L^T, p = L^-T z
+            L = jnp.linalg.cholesky(inv_mass)
+            return jax.scipy.linalg.solve_triangular(L.T, z.T, lower=False).T
+        return z / jnp.sqrt(inv_mass)
 
     def step(carry, inputs):
         q, log_eps, h_bar, log_eps_bar, mass_mean, mass_sq, count, adapting = carry
         k, t, mass_adapting = inputs
         kp, kl, ku = jax.random.split(k, 3)
-        inv_mass = jnp.maximum(mass_sq / jnp.maximum(count, 1.0) - (mass_mean / jnp.maximum(count, 1.0)) ** 2, 1e-6)
-        inv_mass = jnp.where(count > 10.0, inv_mass, jnp.ones_like(inv_mass))
+        inv_mass = estimate_inv_mass(mass_mean, mass_sq, count)
         eps = jnp.exp(log_eps)
-        p = jax.random.normal(kp, q.shape, dtype=dtype) / jnp.sqrt(inv_mass)
+        p = sample_momentum(kp, inv_mass)
         # trajectory length: fixed by default; optional uniform jitter window
         # (static decision — trajectory_jitter is a Python float)
         lo = max(1, int(round(num_leapfrog * (1.0 - trajectory_jitter))))
@@ -163,17 +198,20 @@ def hmc(logprob_fn: Callable, init_params, key,
         # from-step-0 pooled estimate permanently biases the mass, round-2
         # VERDICT weak #8)
         mass_on = jnp.logical_and(adapting, mass_adapting)
+        sq_upd = ((q[:, :, None] * q[:, None, :]).mean(0) if dense
+                  else (q * q).mean(0))
         mass_mean = jnp.where(mass_on, mass_decay * mass_mean + q.mean(0), mass_mean)
-        mass_sq = jnp.where(mass_on, mass_decay * mass_sq + (q * q).mean(0), mass_sq)
+        mass_sq = jnp.where(mass_on, mass_decay * mass_sq + sq_upd, mass_sq)
         count = jnp.where(mass_on, mass_decay * count + 1.0, count)
         new_carry = (q, log_eps, h_bar, log_eps_bar, mass_mean, mass_sq, count, adapting)
         return new_carry, (q, lp, accept.mean())
 
     if init_state is None:
         start_t = 0
+        sq0 = jnp.zeros((dim, dim) if dense else (dim,), dtype=dtype)
         init_carry = (q0, jnp.asarray(math.log(0.1), dtype=dtype), jnp.asarray(0.0, dtype=dtype),
                       jnp.asarray(math.log(0.1), dtype=dtype), jnp.zeros(dim, dtype=dtype),
-                      jnp.zeros(dim, dtype=dtype), jnp.asarray(0.0, dtype=dtype),
+                      sq0, jnp.asarray(0.0, dtype=dtype),
                       jnp.asarray(True))
         total = num_warmup + num_samples
     else:
@@ -209,7 +247,13 @@ def hmc(logprob_fn: Callable, init_params, key,
     qs = qs[n_keep_warm:]
     lps = lps[n_keep_warm:]
     acc = acc[n_keep_warm:]
-    inv_mass_final = final_carry[4]
+    # the adapted inverse-mass ESTIMATE (round 2 returned the raw running
+    # mean accumulator here — a mislabeled diagnostic); dense mode reports
+    # the covariance diagonal
+    inv_mass_final = estimate_inv_mass(final_carry[4], final_carry[5],
+                                       final_carry[6])
+    if dense:
+        inv_mass_final = jnp.diagonal(inv_mass_final)
 
     samples = jax.vmap(jax.vmap(lambda q: _unflatten(q, spec)))(qs)
     mass = _unflatten(inv_mass_final, spec)
@@ -259,9 +303,9 @@ def effective_sample_size(x):
 def sample_gp_hyperposterior(model, num_samples=500, num_warmup=500,
                              num_chains=8, seed=0, prior_std=3.0,
                              include=("scale", "lengthscales"),
-                             num_leapfrog=32, trajectory_jitter=0.0,
+                             num_leapfrog=32, trajectory_jitter=0.5,
                              mass_decay=0.99, mass_warmup_start_frac=0.25,
-                             target_accept=0.8,
+                             mass_matrix="dense", target_accept=0.8,
                              chain_sharding=None, resume_state=None):
     """Sample the hyperposterior of a GP model's raw hyperparameters.
 
@@ -269,6 +313,16 @@ def sample_gp_hyperposterior(model, num_samples=500, num_warmup=500,
 
     Returns HMCResult plus per-parameter split-R-hat / ESS diagnostics in a
     dict.  Works for any model exposing the solver protocol (fast or dense).
+
+    Defaults differ from generic :func:`hmc` where GP hyperposteriors have
+    a measured preference (multi-seed protocol,
+    examples/hmc_quality_results.json): FULL-covariance inverse mass
+    (``mass_matrix="dense"`` — low-dimensional targets with a strong
+    scale/lengthscale ridge; also R-hat 1.21 vs 1.68 diag on a harder d=4
+    n=2^10 target at short budget) and 50%-jittered trajectories
+    (``trajectory_jitter=0.5`` — best worst-seed R-hat and ESS/gradient;
+    round 2's poor jittered measurement was the since-fixed from-step-0
+    mass pooling, not the jitter).
     """
     model._warm_for_fit()
     d_out = int(np.prod(model.shape_batch)) if model.shape_batch else 1
@@ -291,7 +345,7 @@ def sample_gp_hyperposterior(model, num_samples=500, num_warmup=500,
                  num_leapfrog=num_leapfrog, trajectory_jitter=trajectory_jitter,
                  mass_decay=mass_decay,
                  mass_warmup_start_frac=mass_warmup_start_frac,
-                 target_accept=target_accept,
+                 mass_matrix=mass_matrix, target_accept=target_accept,
                  chain_sharding=chain_sharding, init_state=resume_state)
     diagnostics = {}
     for k, v in result.samples.items():

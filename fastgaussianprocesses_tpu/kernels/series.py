@@ -233,6 +233,9 @@ def kernel_fused_scan(part_dim_fn, x_or_b, z_or_b, ominus, beta0: np.ndarray,
                         xj, zj, lsj = inp
                         return carry * _term(xj, zj, lsj), None
 
+                    # (scan unroll=2 was measured on-chip: no effect — the
+                    # digital-net series is compute-bound in omega_walsh,
+                    # not carry-bandwidth-bound)
                     prod, _ = jax.lax.scan(body, prod, (xT[ia], zT[ia], lsT[ia]))
             w = float(c0[i0] * c1[i1])
             contrib = prod if w == 1.0 else w * prod

@@ -169,3 +169,36 @@ def test_hmc_kill_and_resume_continues_exactly(tmp_path):
         merged = np.concatenate([np.asarray(part1.samples[k]),
                                  np.asarray(part2.samples[k])], 0)
         np.testing.assert_array_equal(merged, np.asarray(full.samples[k]), err_msg=k)
+
+
+def test_hmc_dense_mass_runs_and_resumes(tmp_path):
+    """mass_matrix='dense' (full-covariance inverse mass): finite samples,
+    sane acceptance, and bitwise kill-and-resume with the (dim, dim) moment
+    carry."""
+    from fastgaussianprocesses_tpu.fit.hmc import sample_gp_hyperposterior
+    from fastgaussianprocesses_tpu.utils.checkpoint import (load_hmc_state,
+                                                            save_hmc_state)
+
+    fgp = FastGPLattice(2, seed_for_seq=3)
+    x = np.asarray(fgp.get_x_next(64))
+    fgp.add_y_next(jnp.asarray(np.sin(2 * np.pi * x[:, 0])))
+    full, d_full = sample_gp_hyperposterior(
+        fgp, num_samples=30, num_warmup=30, num_chains=4, seed=5,
+        mass_matrix="dense")
+    assert np.isfinite(np.asarray(full.log_prob)).all()
+    assert 0.0 < float(full.accept_rate) <= 1.0
+    assert all(np.isfinite(v) for v in
+               np.asarray(jnp.concatenate([jnp.ravel(l) for l in
+                                           full.mass_diag.values()])))
+    # kill after the first leg, resume, compare against uninterrupted
+    first, _ = sample_gp_hyperposterior(
+        fgp, num_samples=10, num_warmup=30, num_chains=4, seed=5,
+        mass_matrix="dense")
+    path = str(tmp_path / "hmc_dense.npz")
+    save_hmc_state(first.state, path)
+    resumed, _ = sample_gp_hyperposterior(
+        fgp, num_samples=20, num_warmup=30, num_chains=4, seed=5,
+        mass_matrix="dense", resume_state=load_hmc_state(path))
+    got = np.concatenate([np.asarray(first.log_prob),
+                          np.asarray(resumed.log_prob)])
+    np.testing.assert_array_equal(got, np.asarray(full.log_prob))
