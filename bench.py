@@ -153,12 +153,19 @@ def bench_hmc(n=1 << 14, d=4, num_chains=8, num_samples=100, num_warmup=100):
 
     gp = make_lattice(n, d)
     gp.fit(iterations=30, verbose=0)
+    # identical-shape warmup: compiles the sampler executable outside the
+    # timed region (every other cell is timed warm too)
+    sample_gp_hyperposterior(gp, num_samples=num_samples,
+                             num_warmup=num_warmup, num_chains=num_chains,
+                             seed=0)
     t0 = time.perf_counter()
     result, diags = sample_gp_hyperposterior(
         gp, num_samples=num_samples, num_warmup=num_warmup,
         num_chains=num_chains, seed=0)
     np.asarray(result.log_prob)  # sync
     dt = time.perf_counter() - t0
+    # per-sample rate over the retained draws; warmup steps are the
+    # sampler's own cost of producing them and stay in the denominator
     return num_samples * num_chains / dt, diags
 
 
@@ -250,7 +257,9 @@ def main():
                 "unit": "steps/s"}
 
     def _hmc():
-        sps, diags = bench_hmc(num_samples=50, num_warmup=50)
+        # 150 warmup: the dense-mass window (starts at warmup/4) needs
+        # ~100 steps of moments before its (dim, dim) estimate stabilizes
+        sps, diags = bench_hmc(num_samples=50, num_warmup=150)
         return {"value": round(sps, 2), "unit": "samples/s",
                 "rhat_max_at_bench_budget":
                     round(max(v["rhat"] for v in diags.values()), 4)}
