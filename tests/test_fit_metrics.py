@@ -148,3 +148,29 @@ def test_fused_fit_matches_unchunked():
     with _pytest.raises(ValueError):
         build().fit(iterations=5, verbose=0, store_loss_hist=True,
                     steps_per_dispatch=-1)
+
+
+def test_fused_fit_resume_matches_unchunked(tmp_path):
+    """A checkpointed fit resumed in FUSED mode (steps_per_dispatch=-1)
+    lands on the same final parameters and stop iteration as an
+    uninterrupted host-loop run (counters i0/waits/best flow into the
+    device carry)."""
+    def build():
+        gp = FastGPLattice(2, seed_for_seq=29)
+        x = np.asarray(gp.get_x_next(64))
+        gp.add_y_next(jnp.asarray(np.cos(2 * np.pi * x[:, 1]) + x.sum(1)))
+        return gp
+
+    g_full = build()
+    d_full = g_full.fit(iterations=60, verbose=0)
+    ck = str(tmp_path / "ck.npz")
+    g_a = build()
+    g_a.fit(iterations=15, verbose=0, checkpoint_path=ck, checkpoint_every=15)
+    g_b = build()
+    d_b = g_b.fit(iterations=60, verbose=0, resume_from=ck,
+                  steps_per_dispatch=-1)
+    assert d_b["iterations"] == d_full["iterations"]
+    for k in g_full.params:
+        np.testing.assert_array_equal(np.asarray(g_b.params[k].raw),
+                                      np.asarray(g_full.params[k].raw),
+                                      err_msg=k)
