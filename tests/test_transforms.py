@@ -109,3 +109,36 @@ def test_pallas_fwht_matches_xla_paths():
     g = jax.grad(lambda v: jnp.sum(fwht_pallas(v, True) ** 2))(x)
     g2 = jax.grad(lambda v: jnp.sum(fwht(v) ** 2))(x)
     assert float(jnp.max(jnp.abs(g - g2))) < 1e-3 * float(jnp.max(jnp.abs(g2)))
+
+
+def test_fwht_best_dispatch_routing(monkeypatch):
+    """fwht_best routing: Pallas on TPU for f32 power-of-two sizes in
+    [2^14, 2^22] EXCEPT the single-row hybrid (B=1, m > fused max — the one
+    measured regression in FWHT_BENCH.json); XLA otherwise."""
+    import jax.numpy as jnp
+    import numpy as np
+    from fastgaussianprocesses_tpu.ops import pallas_fwht as pf
+
+    taken = []
+    monkeypatch.setattr(pf, "_on_tpu", lambda: True)
+    monkeypatch.setattr(pf, "fwht_pallas",
+                        lambda x: taken.append("pallas") or x)
+    from fastgaussianprocesses_tpu.ops import transforms as tr
+    monkeypatch.setattr(tr, "fwht", lambda x: taken.append("xla") or x)
+
+    def route(shape, dtype=jnp.float32):
+        taken.clear()
+        pf.fwht_best(jnp.zeros(shape, dtype))
+        return taken[0]
+
+    assert route((8, 1 << 17)) == "pallas"          # fused range, batched
+    assert route((1, 1 << 17)) == "pallas"          # fused range, single row
+    assert route((8, 1 << 20)) == "pallas"          # hybrid range, batched
+    assert route((1 << 20,)) == "xla"               # hybrid single row: the
+    assert route((1, 1 << 22)) == "xla"             # measured 0.90x cell
+    assert route((8, 1 << 10)) == "xla"             # below _M_MIN
+    assert route((8, 1 << 23)) == "xla"             # above hybrid max
+    assert route((8, 1 << 17), jnp.float64) == "xla"  # non-f32
+    taken.clear()
+    pf.fwht_best(jnp.zeros((8, 1000), jnp.float32))  # non power of two
+    assert taken[0] == "xla"
