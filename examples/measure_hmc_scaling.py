@@ -16,11 +16,13 @@ parallel/distributed.py:measure_hmc_scaling):
   compute is shared, so flat throughput is the IDEAL; the deficit is host
   oversubscription plus the per-device vmap batch shrinking 8 -> 1, neither
   of which exists on real multi-chip hardware.
-* ``collectives_only.efficiency`` — the same sharding running only the HMC
+* ``collectives_only.latency_s`` — the same sharding running only the HMC
   step's cross-chain communication pattern (per-chain update + scalar
-  all-reduce) with trivial compute.  This isolates the one cost that WOULD
-  erode the >= 0.8 multi-host north star; it is gated in
-  tests/test_parallel.py.
+  all-reduce) with trivial compute.  The ABSOLUTE per-step latency at max
+  devices isolates the one cost that WOULD erode the >= 0.8 multi-host
+  north star; it is gated in tests/test_parallel.py.  (No efficiency ratio
+  is reported for this cell — the 1-device baseline is a folded register
+  loop, so a ratio against it measures nothing.)
 """
 
 import json

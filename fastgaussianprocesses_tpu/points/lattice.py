@@ -56,6 +56,13 @@ def default_generating_vector(d: int, n_max: int = 1 << _DEF_M_MAX) -> np.ndarra
             table = np.load(path)
             if table.shape[0] >= d:
                 return table[:d].astype(np.uint64)
+    import warnings
+    warnings.warn(
+        f"no packaged CBC generating-vector table covers d={d}, n_max={n_max}; "
+        "falling back to a pseudo-random odd vector.  The lattice stays valid "
+        "but its convergence rate degrades — pass generating_vector= or a "
+        "smaller m_max, or restore points/data/lattice_cbc_m*.npy.",
+        UserWarning, stacklevel=2)
     rng = np.random.default_rng(42)
     g = rng.integers(1, n_max // 2, size=d, dtype=np.uint64) * 2 + 1
     g[0] = 1
