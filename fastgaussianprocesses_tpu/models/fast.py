@@ -404,10 +404,25 @@ class AbstractFastGP(AbstractGP):
         assert _all_pow2(n), "n must be powers of 2 >= current sample counts"
         return n
 
+    def _query_itemsize(self):
+        # lattice queries move complex FFT buffers (2x real)
+        return jnp.dtype(self._ftout_dtype()).itemsize
+
     # -- kernel evaluation ----------------------------------------------
     def _part_dim(self, delta_j, j: int, b: int, k: int):
-        """One dimension's series term (concrete models override)."""
+        """One dimension's series term (concrete models override).
+
+        CONTRACT (required by series.kernel_fused_scan, which groups
+        dimensions by the static signature ``(alpha_j, b, k)`` and evaluates
+        one group representative ``j`` for the whole group): the return value
+        may depend on ``j`` ONLY through ``self.alpha[j]``.  An override
+        whose j-dependence goes beyond alpha breaks cross-kernel queries
+        silently (round-3 ADVICE).
+        """
         raise NotImplementedError
+
+    # models may provide a side-wise pair evaluator (see kernel_fused_scan)
+    _part_dim_pair = None
 
     def _kernel_explicit(self, x0, x1, beta0, beta1, c0, c1, scale, lengthscales):
         # scan-fused per-dimension accumulation: live buffers are O(N * n)
@@ -416,7 +431,8 @@ class AbstractFastGP(AbstractGP):
         # the (N, n, p0, p1, d) parts stack (550 GB at N=2^14, n=2^20, d=8)
         return series.kernel_fused_scan(self._part_dim, x0, x1, self._ominus,
                                         beta0, beta1, c0, c1, scale,
-                                        lengthscales, self.alpha)
+                                        lengthscales, self.alpha,
+                                        part_dim_pair_fn=self._part_dim_pair)
 
     # -- fast cubature (abstract_fast_gp.py:65-154) ----------------------
     def post_cubature_mean(self, task=None):
