@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.bernoulli import bernoulli_poly
-from ..ops.walsh import omega_walsh
+from ..ops.walsh_closed import omega_walsh_closed
 
 
 # ---------------------------------------------------------------------------
@@ -101,18 +101,22 @@ def dsi_parts_from_delta(delta_b, t: int, alpha: np.ndarray, beta: np.ndarray, k
     assert (order >= 1).all() and (order <= 4).all(), f"DSI order must be in [1,4], got {order}"
     cols = []
     for j in range(d):
-        om = omega_walsh(delta_b[..., j], t, int(order[j]), dtype=dtype)
+        om = omega_walsh_closed(delta_b[..., j], t, int(order[j]), dtype=dtype)
         ind = 1.0 if bpk[j] > 0 else 0.0
         cols.append(float((-2.0) ** bpk[j]) * (ind + om))
     return jnp.stack(cols, axis=-1)
 
 
 def dsi_part_dim(delta_bj, t: int, alpha_j: int, b: int, k: int, dtype=jnp.float64):
-    """One dimension's DSI series term (scalar orders; see dsi_parts_from_delta)."""
+    """One dimension's DSI series term (scalar orders; see dsi_parts_from_delta).
+
+    Uses the closed-form omega (ops/walsh_closed.py): O(alpha + log t) vector
+    ops per element instead of the O(t * alpha) transfer recursion — the
+    recursion remains the exactness oracle in tests."""
     bpk = b + k
     order = alpha_j - bpk
     assert 1 <= order <= 4, order
-    om = omega_walsh(delta_bj, t, order, dtype=dtype)
+    om = omega_walsh_closed(delta_bj, t, order, dtype=dtype)
     ind = 1.0 if bpk > 0 else 0.0
     return float((-2.0) ** bpk) * (ind + om)
 
@@ -172,7 +176,8 @@ def kernel_fused(part_dim_fn, x_or_b, z_or_b, ominus, beta0: np.ndarray,
 
 
 def kernel_fused_scan(part_dim_fn, x_or_b, z_or_b, ominus, beta0: np.ndarray,
-                      beta1: np.ndarray, c0, c1, scale, lengthscales, alpha):
+                      beta1: np.ndarray, c0, c1, scale, lengthscales, alpha,
+                      part_dim_pair_fn=None):
     """:func:`kernel_fused` with the dimension product under a ``lax.scan``.
 
     The hand-streamed per-dimension deltas of :func:`kernel_fused` do not
@@ -192,6 +197,10 @@ def kernel_fused_scan(part_dim_fn, x_or_b, z_or_b, ominus, beta0: np.ndarray,
     Args:
         alpha: per-dimension smoothness (length-d static int vector) — the
             only model-dependent piece of the group key.
+        part_dim_pair_fn: optional ``(xj, zj, j, b, k) -> part`` evaluated on
+            the broadcastable SIDES instead of the materialized delta —
+            models use it to hoist per-side feature maps (e.g. the digital
+            net's XOR-commuting bit spreads) out of the O(pairs) inner work.
     """
     d = x_or_b.shape[-1]
     p0, p1 = len(beta0), len(beta1)
@@ -219,8 +228,11 @@ def kernel_fused_scan(part_dim_fn, x_or_b, z_or_b, ominus, beta0: np.ndarray,
                 jrep = idx[0]
 
                 def term(xj, zj, lsj, _j=jrep, _b=b, _k=k, _ind=ind):
-                    delta = ominus(xj[..., None], zj[..., None])[..., 0]
-                    part = part_dim_fn(delta, _j, _b, _k)
+                    if part_dim_pair_fn is not None:
+                        part = part_dim_pair_fn(xj, zj, _j, _b, _k)
+                    else:
+                        delta = ominus(xj[..., None], zj[..., None])[..., 0]
+                        part = part_dim_fn(delta, _j, _b, _k)
                     lsj = lsj.reshape(batch + (1,) * sp_ndim)
                     return _ind + lsj * part
 

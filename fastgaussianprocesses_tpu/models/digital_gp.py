@@ -89,6 +89,23 @@ class FastGPDigitalNetB2(AbstractFastGP):
         return series.dsi_part_dim(delta_j, self.t, int(self.alpha[j]), b, k,
                                    dtype=self.dtype)
 
+    def _part_dim_pair(self, xj, zj, j, b, k):
+        """Side-wise series term: bit-spread feature maps are computed once
+        per side (they commute with the XOR group op), so the O(N*n) inner
+        loop of cross-kernel queries pays only one XOR + convert per chunk
+        (ops/walsh_closed.omega_walsh_closed_pair)."""
+        from ..ops.walsh_closed import omega_walsh_closed_pair
+        import jax.numpy as jnp
+
+        xb = xj if jnp.issubdtype(xj.dtype, jnp.integer) else self._convert_to_b(xj)
+        zb = zj if jnp.issubdtype(zj.dtype, jnp.integer) else self._convert_to_b(zj)
+        bpk = b + k
+        order = int(self.alpha[j]) - bpk
+        assert 1 <= order <= 4, order
+        om = omega_walsh_closed_pair(xb, zb, self.t, order, dtype=self.dtype)
+        ind = 1.0 if bpk > 0 else 0.0
+        return float((-2.0) ** bpk) * (ind + om)
+
     def get_omega(self, m):
         return 1.0
 

@@ -157,3 +157,41 @@ def test_cbc_vector_quality():
     g20 = default_generating_vector(8, 1 << 20)
     e2_20 = squared_worst_case_error(g20, 14)  # evaluated at the affordable m
     assert np.isfinite(e2_20)
+
+
+@pytest.mark.parametrize("alpha", [1, 2, 3, 4])
+@pytest.mark.parametrize("t", [5, 24, 30, 53])
+def test_omega_closed_form_matches_transfer_recursion(alpha, t):
+    """The symbolically-derived closed-form omega (walsh_closed.py) agrees
+    with the exact transfer recursion to machine precision at every order
+    and bit width, in both f64 and f32."""
+    from fastgaussianprocesses_tpu.ops.walsh_closed import omega_walsh_closed
+
+    rng = np.random.default_rng(42)
+    idt = np.int64 if t > 30 else np.int32
+    xb = np.unique(np.concatenate([
+        np.array([0, 1, 2, 3, (1 << t) - 1, 1 << (t - 1)], dtype=np.uint64),
+        rng.integers(0, 1 << t, size=300, dtype=np.uint64)])).astype(idt)
+    xj = jnp.asarray(xb)
+    want = np.asarray(walsh.omega_walsh(xj, t, alpha, dtype=jnp.float64))
+    got = np.asarray(omega_walsh_closed(xj, t, alpha, dtype=jnp.float64))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-13)
+    if t <= 30:  # f32 path (TPU precision)
+        got32 = np.asarray(omega_walsh_closed(xj, t, alpha, dtype=jnp.float32))
+        np.testing.assert_allclose(got32, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("alpha", [1, 2, 3, 4])
+def test_omega_pair_sides_matches_delta_form(alpha):
+    """The side-wise pair evaluator (spreads hoisted out of the pair loop)
+    equals the delta-form closed form on a full broadcastable cross."""
+    from fastgaussianprocesses_tpu.ops.walsh_closed import (
+        omega_walsh_closed, omega_walsh_closed_pair)
+
+    t = 30
+    rng = np.random.default_rng(7)
+    xa = jnp.asarray(rng.integers(0, 1 << t, size=(33, 1), dtype=np.int64).astype(np.int32))
+    zb = jnp.asarray(rng.integers(0, 1 << t, size=(1, 57), dtype=np.int64).astype(np.int32))
+    want = np.asarray(omega_walsh_closed(np.asarray(xa) ^ np.asarray(zb), t, alpha))
+    got = np.asarray(omega_walsh_closed_pair(xa, zb, t, alpha))
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-14)
