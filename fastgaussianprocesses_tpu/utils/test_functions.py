@@ -56,9 +56,19 @@ _HARTMANN6_ALPHA = np.array([1.0, 1.2, 3.0, 3.2])
 
 
 def hartmann6(x):
+    """RESCALED Hartmann-6: ``-(2.58 + sum_i alpha_i exp(...)) / 1.94``.
+
+    This is the variant the reference benchmarks (probnum25_paper.ipynb
+    cell 7 ``hartmann_6d``), NOT the plain ``-sum alpha exp(...)`` form:
+    the -2.58/1.94 offset raises ||y|| in the relative-error denominator
+    ~3x.  Round 3 used the unshifted form, which made every hartmann
+    accuracy cell read ~3x worse than the published table for the SAME
+    absolute residual (diagnosed in round 4 by running the unmodified
+    reference code on our point sets via examples/refshim).
+    """
     assert x.shape[-1] == 6
     inner = ((x[..., None, :] - _HARTMANN6_P) ** 2 * _HARTMANN6_A).sum(-1)
-    return -(_HARTMANN6_ALPHA * jnp.exp(-inner)).sum(-1)
+    return -(2.58 + (_HARTMANN6_ALPHA * jnp.exp(-inner)).sum(-1)) / 1.94
 
 
 SUITE = {
