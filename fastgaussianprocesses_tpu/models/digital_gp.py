@@ -16,9 +16,36 @@ from .fast import AbstractFastGP
 
 
 class FastGPDigitalNetB2(AbstractFastGP):
-    """DSI-kernel GP on digitally-shifted Sobol' nets.
+    r"""DSI-kernel GP on digitally-shifted Sobol' nets.
 
     Args mirror fast_gp_digital_net_b2.py:117-160; see FastGPLattice.
+
+    Worked example (doctest-run by tests/test_doctests.py on CPU float64;
+    mirrors the reference's executable docstring,
+    fast_gp_digital_net_b2.py:11-116):
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> gp = FastGPDigitalNetB2(2, seed_for_seq=7, alpha=2)
+    >>> x = gp.get_x_next(64)
+    >>> y = jnp.sin(2*jnp.pi*x[:, 0]) * jnp.cos(2*jnp.pi*x[:, 1]) + x.sum(1)
+    >>> gp.add_y_next(y)
+    >>> data = gp.fit(iterations=40, verbose=0)
+    >>> data['iterations']
+    33
+    >>> xq = np.array([[0.1, 0.2], [0.5, 0.5], [0.9, 0.8]])
+    >>> pm, pv = gp.post_mean_var(xq)
+    >>> [round(float(v), 4) for v in pm]
+    [0.513, 1.8084, 1.637]
+    >>> [round(float(v), 6) for v in pv]
+    [0.012298, 0.0546, 0.072452]
+    >>> round(float(gp.post_cubature_mean()), 4)
+    1.0083
+    >>> pv_future = gp.post_var(xq, n=128)
+    >>> xn = gp.get_x_next(128)
+    >>> yn = jnp.sin(2*jnp.pi*xn[:, 0]) * jnp.cos(2*jnp.pi*xn[:, 1]) + xn.sum(1)
+    >>> gp.add_y_next(yn)
+    >>> bool(np.allclose(np.asarray(gp.post_var(xq)), np.asarray(pv_future)))
+    True
     """
 
     def __init__(self, seqs, num_tasks=None, seed_for_seq=None, alpha=2,

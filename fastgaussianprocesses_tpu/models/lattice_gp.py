@@ -17,7 +17,7 @@ from .fast import AbstractFastGP
 
 
 class FastGPLattice(AbstractFastGP):
-    """Shift-invariant-kernel GP on randomly-shifted rank-1 lattices.
+    r"""Shift-invariant-kernel GP on randomly-shifted rank-1 lattices.
 
     Args (mirroring fast_gp_lattice.py:125-158):
         seqs: a LatticeSeq, list of LatticeSeq (one per task), or an int
@@ -28,6 +28,39 @@ class FastGPLattice(AbstractFastGP):
         tfs_*, requires_grad_*, shape_*, derivatives, derivatives_coeffs,
         adaptive_nugget: see AbstractGP.
         dtype: compute dtype (float64 default on CPU, float32 on TPU).
+
+    Worked example (doctest-run by tests/test_doctests.py on CPU float64;
+    mirrors the reference's executable docstring, fast_gp_lattice.py:11-121):
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> gp = FastGPLattice(2, seed_for_seq=7, alpha=2)
+    >>> x = gp.get_x_next(64)
+    >>> y = jnp.sin(2*jnp.pi*x[:, 0]) * jnp.cos(2*jnp.pi*x[:, 1]) + x.sum(1)
+    >>> gp.add_y_next(y)
+    >>> data = gp.fit(iterations=40, verbose=0)
+    >>> data['iterations']
+    33
+    >>> xq = np.array([[0.1, 0.2], [0.5, 0.5], [0.9, 0.8]])
+    >>> pm, pv = gp.post_mean_var(xq)
+    >>> [round(float(v), 4) for v in pm]
+    [0.416, 0.9556, 1.4521]
+    >>> [round(float(v), 6) for v in pv]
+    [0.004823, 0.008514, 0.007165]
+    >>> round(float(gp.post_cubature_mean()), 4)
+    0.9915
+    >>> pmean, pvar, q, lo, hi = gp.post_ci(xq)
+    >>> [round(float(v), 3) for v in lo]
+    [-0.045, 0.343, 0.891]
+
+    Posterior-variance projections at a FUTURE n equal the values after
+    actually ingesting those points (reference fast_gp_lattice.py:95-97):
+
+    >>> pv_future = gp.post_var(xq, n=128)
+    >>> xn = gp.get_x_next(128)
+    >>> yn = jnp.sin(2*jnp.pi*xn[:, 0]) * jnp.cos(2*jnp.pi*xn[:, 1]) + xn.sum(1)
+    >>> gp.add_y_next(yn)
+    >>> bool(np.allclose(np.asarray(gp.post_var(xq)), np.asarray(pv_future)))
+    True
     """
 
     def __init__(self, seqs, num_tasks=None, seed_for_seq=None, alpha=2,

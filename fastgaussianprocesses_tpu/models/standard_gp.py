@@ -164,6 +164,27 @@ class StandardGP(AbstractGP):
             or use ``data={'x': ..., 'y': ...}`` with seqs = dimension.
         kernel_class: 'gaussian' | 'matern12' | 'matern32' | 'matern52'.
         data: dict of fixed observations ingested at construction.
+
+    Worked example (doctest-run by tests/test_doctests.py on CPU float64;
+    mirrors the reference's executable docstring, standard_gp.py:14-122):
+
+    >>> import numpy as np, jax.numpy as jnp
+    >>> gp = StandardGP(2, seed_for_seq=7)
+    >>> x = gp.get_x_next(64)
+    >>> y = jnp.sin(2*jnp.pi*x[:, 0]) * jnp.cos(2*jnp.pi*x[:, 1]) + x.sum(1)
+    >>> gp.add_y_next(y)
+    >>> data = gp.fit(iterations=40, verbose=0)
+    >>> data['iterations']
+    40
+    >>> xq = np.array([[0.1, 0.2], [0.5, 0.5], [0.9, 0.8]])
+    >>> pm, pv = gp.post_mean_var(xq)
+    >>> [round(float(v), 4) for v in pm]
+    [0.4832, 0.9991, 1.5233]
+    >>> round(float(gp.post_cubature_mean()), 4)
+    1.0002
+    >>> pmean, pvar, q, lo, hi = gp.post_ci(xq)
+    >>> [round(float(v), 3) for v in lo]
+    [0.431, 0.957, 1.45]
     """
 
     def __init__(self, seqs, num_tasks=None, seed_for_seq=None,

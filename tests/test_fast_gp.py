@@ -361,3 +361,19 @@ def test_post_mean_var_fused_matches_separate(model_cls):
     np.testing.assert_allclose(np.asarray(pm1), np.asarray(fgp.post_mean(x, task=1)), atol=1e-12)
     np.testing.assert_allclose(np.asarray(pv1),
                                np.asarray(fgp.post_var(x, task=1, n=[128, 128])), atol=1e-12)
+
+
+@pytest.mark.parametrize("model_cls", [FastGPLattice, FastGPDigitalNetB2])
+def test_multitask_above_schur_ceiling_matches_dense(model_cls):
+    """M = 17 frequency blocks: above the recursive-Schur ceiling (M <= 16)
+    the factorization switches to slogdet/inv — complex via the real
+    embedding on the lattice path.  Dense-verified solve + logdet."""
+    T = 17
+    fgp = _make(model_cls, [16] * T, d=2, num_tasks=T, noise=1e-4)
+    K = dense_gram(fgp)
+    y = np.concatenate([np.asarray(fgp._y[l]) for l in range(T)])
+    want = np.linalg.solve(K, y)
+    np.testing.assert_allclose(np.asarray(fgp.coeffs), want, atol=1e-6)
+    solver = fgp._solver()
+    _, logdet = np.linalg.slogdet(K)
+    np.testing.assert_allclose(float(solver.factor.logdet), logdet, rtol=1e-7)
