@@ -1,9 +1,9 @@
 """HMC adaptation-quality comparison on a GP hyperposterior.
 
 Compares mass-matrix and trajectory-length configs of the framework's HMC
-sampler — the DEFAULT (fixed L=32, dense full-covariance inverse mass,
-late-window adaptation) against a diagonal mass, shorter fixed lengths, a
-50%-jittered variant, and round 2's from-step-0 pooled-diag behavior — in
+sampler — the DEFAULT (50%-jittered L=16, dense full-covariance inverse
+mass, late-window adaptation) against longer/unjittered lengths, a diagonal
+mass, and round 2's from-step-0 pooled-diag behavior — in
 min-ESS per leapfrog gradient evaluation (the compute-normalized quality
 metric NUTS papers report) and max split-R-hat, averaged over 3 seeds
 (single-seed HMC quality metrics are chaotic-trajectory noise).
@@ -14,8 +14,8 @@ the measured-best configs the defaults, selectable via the public
 ``num_leapfrog`` / ``trajectory_jitter`` / ``mass_decay`` /
 ``mass_matrix`` knobs.
 
-Writes examples/hmc_quality_results.json (key "default_dense_L32" = the
-shipped configuration).
+Writes examples/hmc_quality_results.json (key "default_jittered_dense_L16"
+= the shipped configuration).
 
 Run:  JAX_PLATFORMS=cpu python examples/hmc_quality.py
 """
@@ -48,11 +48,11 @@ def main():
     # is averaged over seeds (max_rhat reported as the worst seed)
     DEFAULT_JITTER = 0.5  # keep in sync with sample_gp_hyperposterior
     configs = [
-        ("default_jittered_dense_L32", {}),  # the shipped defaults
-        ("fixed_L32_dense", {"trajectory_jitter": 0.0}),
-        ("jittered_diag_L32", {"mass_matrix": "diag"}),
-        ("fixed_L16_dense", {"num_leapfrog": 16, "trajectory_jitter": 0.0}),
-        ("fixed_L8_dense", {"num_leapfrog": 8, "trajectory_jitter": 0.0}),
+        ("default_jittered_dense_L16", {}),  # the shipped defaults (round 4)
+        ("fixed_L16_dense", {"trajectory_jitter": 0.0}),
+        ("jittered_dense_L32", {"num_leapfrog": 32}),
+        ("fixed_L32_dense", {"num_leapfrog": 32, "trajectory_jitter": 0.0}),
+        ("jittered_diag_L16", {"mass_matrix": "diag"}),
         # round-2 behavior: jittered + diag mass pooled from step 0
         ("round2_pooled_diag", {"mass_matrix": "diag", "mass_decay": 1.0,
                                 "mass_warmup_start_frac": 0.0}),
@@ -64,7 +64,7 @@ def main():
             res, diags = sample_gp_hyperposterior(
                 gp, num_samples=num_samples, num_warmup=num_warmup,
                 num_chains=chains, seed=seed, **kw)
-            L = kw.get("num_leapfrog", 32)
+            L = kw.get("num_leapfrog", 16)
             jit_frac = kw.get("trajectory_jitter", DEFAULT_JITTER)
             mean_steps = L * (1 - jit_frac / 2)  # uniform on [L*(1-j), L]
             grad_evals = (num_samples + num_warmup) * chains * (2 * mean_steps + 2)
@@ -86,7 +86,7 @@ def main():
         json.dump(results, fh, indent=1)
     best = min(v["max_rhat_worst_seed"] for v in results.values())
     print("default worst-seed max_rhat:",
-          results["default_jittered_dense_L32"]["max_rhat_worst_seed"],
+          results["default_jittered_dense_L16"]["max_rhat_worst_seed"],
           "(best column:", best, ")")
 
 

@@ -352,7 +352,7 @@ def effective_sample_size(x, rank_normalized=True):
 def sample_gp_hyperposterior(model, num_samples=500, num_warmup=500,
                              num_chains=8, seed=0, prior_std=3.0,
                              include=("scale", "lengthscales"),
-                             num_leapfrog=32, trajectory_jitter=0.5,
+                             num_leapfrog=16, trajectory_jitter=0.5,
                              mass_decay=0.99, mass_warmup_start_frac=0.25,
                              mass_matrix="dense", target_accept=0.8,
                              chain_sharding=None, resume_state=None):
@@ -367,11 +367,11 @@ def sample_gp_hyperposterior(model, num_samples=500, num_warmup=500,
     a measured preference (multi-seed protocol,
     examples/hmc_quality_results.json): FULL-covariance inverse mass
     (``mass_matrix="dense"`` — low-dimensional targets with a strong
-    scale/lengthscale ridge; also R-hat 1.21 vs 1.68 diag on a harder d=4
-    n=2^10 target at short budget) and 50%-jittered trajectories
-    (``trajectory_jitter=0.5`` — best worst-seed R-hat and ESS/gradient;
-    round 2's poor jittered measurement was the since-fixed from-step-0
-    mass pooling, not the jitter).
+    scale/lengthscale ridge), 50%-jittered trajectories and L = 16.
+    Under round 4's corrected diagnostics (fixed-mu dual averaging +
+    rank-normalized var_plus ESS) the 6-seed sweep puts L16+jitter+dense
+    first on BOTH axes: worst-seed R-hat 1.25 (next best 1.28) and
+    5.2 ESS per 1k gradient evaluations (next best 2.9).
     """
     model._warm_for_fit()
     d_out = int(np.prod(model.shape_batch)) if model.shape_batch else 1

@@ -245,10 +245,16 @@ def kernel_fused_scan(part_dim_fn, x_or_b, z_or_b, ominus, beta0: np.ndarray,
                         xj, zj, lsj = inp
                         return carry * _term(xj, zj, lsj), None
 
-                    # (scan unroll=2 was measured on-chip: no effect — the
-                    # digital-net series is compute-bound in omega_walsh,
-                    # not carry-bandwidth-bound)
-                    prod, _ = jax.lax.scan(body, prod, (xT[ia], zT[ia], lsT[ia]))
+                    # unroll=4: each un-unrolled scan step round-trips the
+                    # (chunk, n) carry through HBM — for the cheap lattice
+                    # series that traffic DOMINATED the cross-kernel (round-4
+                    # measurement); unrolling fuses 4 dims per carry pass.
+                    # Full unroll would reopen the horizontal-refusion OOM
+                    # (round-2: XLA merged hand-streamed slices into a
+                    # (chunk, n, d) stack); the compiled-memory guard test
+                    # pins the footprint at this setting.
+                    prod, _ = jax.lax.scan(body, prod, (xT[ia], zT[ia], lsT[ia]),
+                                           unroll=4)
             w = float(c0[i0] * c1[i1])
             contrib = prod if w == 1.0 else w * prod
             total = contrib if total is None else total + contrib

@@ -156,6 +156,7 @@ class AbstractGP:
         self._coeffs_cache = None  # (version, n_tuple) -> coeffs
         self._post_jit = {}        # jitted posterior-query executables
         self._loss_jit = {}        # jitted fit loss / chunk executables
+        self._xbq_cache = {}       # (task, n) -> query-ordered training cols
 
     # ------------------------------------------------------------------
     # parameter access
@@ -411,14 +412,58 @@ class AbstractGP:
     def _warm_extra(self, n):
         pass
 
+    # -- query column ordering ------------------------------------------
+    # Models may declare a per-task permutation of the TRAINING columns for
+    # cross-kernel queries (lattice: bit-reversed order, so the per-chunk
+    # solver transform is a PLAIN (r)fft with no device gather — jnp.take
+    # along the 2^20-long axis costs multiples of the FFT itself on TPU).
+    # The solver is told via pre_permuted=...; solve outputs then come back
+    # in the same permuted order, which is consistent everywhere because
+    # every contraction pairs them with equally-permuted kmat columns (and
+    # the posterior-mean coeffs are permuted once, outside the chunk loop).
+    def _train_col_perm(self, l: int, n: int):
+        return None
+
+    def _query_pre_permuted(self, n) -> bool:
+        return all(self._train_col_perm(l, int(n[l])) is not None
+                   for l in range(self.num_tasks))
+
+    def get_xb_q(self, l: int, n: int):
+        """Training columns for queries, in the model's query column order."""
+        perm = self._train_col_perm(l, int(n))
+        if perm is None:
+            return self.get_xb(l, n=n)
+        key = (l, int(n))
+        cached = self._xbq_cache.get(key)
+        if cached is None:
+            xb = np.asarray(self._get_xxb(l, int(n))[1])[np.asarray(perm)]
+            if np.issubdtype(xb.dtype, np.floating):
+                xb = np.asarray(xb, dtype=self.dtype)
+            cached = xb  # cache NUMPY only: a jnp array built during a jit
+            self._xbq_cache[key] = cached  # trace would leak as a tracer
+            while len(self._xbq_cache) > 16:
+                self._xbq_cache.pop(next(iter(self._xbq_cache)))
+        return jnp.asarray(cached)
+
+    def _query_col_index(self, n):
+        """Concatenated column permutation over tasks (for permuting the
+        natural-order coeffs vector once per query)."""
+        offs = np.concatenate([[0], np.cumsum(n)])
+        idx = []
+        for l in range(self.num_tasks):
+            perm = self._train_col_perm(l, int(n[l]))
+            idx.append(offs[l] + np.asarray(perm))
+        return np.concatenate(idx)
+
     def _cross_kmat(self, x, task, n, params, kmat_tasks):
-        """(..., T, N, sum n_l) cross-covariance against the training set."""
+        """(..., T, N, sum n_l) cross-covariance against the training set
+        (columns in the model's query column order — see _train_col_perm)."""
         scale, ls = params["scale"], params["lengthscales"]
         rows = []
         for t in task:
             cols = []
             for l1 in range(self.num_tasks):
-                xb1 = self.get_xb(l1, n=n[l1])
+                xb1 = self.get_xb_q(l1, n=n[l1])
                 kv = self._kernel_explicit(x[:, None, :], xb1[None, :, :],
                                            self.derivatives[t], self.derivatives[l1],
                                            self.derivatives_coeffs[t], self.derivatives_coeffs[l1],
@@ -488,6 +533,8 @@ class AbstractGP:
         task, inttask = _as_task_array(task, self.num_tasks)
         self._warm_for_query(self.n)
         nb = self._query_chunk_size(x.shape[0], int(self.n.sum()))
+        pp = self._query_pre_permuted(self.n)
+        colperm = self._query_col_index(self.n) if pp else None
 
         def build():
             def impl(raw, xq):
@@ -495,6 +542,8 @@ class AbstractGP:
                 kmat_tasks = self._task_gram(raw)
                 solver = self._query_solver_any(raw, self.n)
                 coeffs = solver.coeffs()  # hoisted: computed once, not per chunk
+                if pp:  # match the kmat column order (one small gather, hoisted)
+                    coeffs = coeffs[..., colperm]
 
                 def one(xc):
                     kmat = self._cross_kmat(xc, task, self.n, params, kmat_tasks)
@@ -519,6 +568,7 @@ class AbstractGP:
         self._warm_for_query(n)
 
         nb = self._query_chunk_size(x.shape[0], int(n.sum()))
+        pp = self._query_pre_permuted(n)
 
         def build():
             def impl(raw, xq):
@@ -539,7 +589,8 @@ class AbstractGP:
                     # tilde space by Parseval — one transform pass fewer than
                     # solve-then-contract; reference abstract_gp.py:381-416
                     # does the dense solve + contract)
-                    diag = prior - solver.gram_quad_diag(kmat, extra_ndim=2)
+                    diag = prior - solver.gram_quad_diag(kmat, extra_ndim=2,
+                                                         pre_permuted=pp)
                     return jnp.maximum(diag, 0.0)
 
                 return self._map_query_chunks(one, xq, nb)
@@ -573,9 +624,25 @@ class AbstractGP:
         task, inttask = _as_task_array(task, self.num_tasks)
         self._warm_for_query(n)
         nb = self._query_chunk_size(x.shape[0], int(n.sum()))
-        offs = np.concatenate([[0], np.cumsum(n)])
-        cur_cols = np.concatenate([np.arange(offs[l], offs[l] + self.n[l])
-                                   for l in range(self.num_tasks)])
+        pp = self._query_pre_permuted(n)
+        # column bookkeeping: kmat columns are in the model's query order for
+        # the n-sized training sets; the MEAN pairs a subset of them (the
+        # current-n points) with the equally-reordered coeffs
+        offs_n = np.concatenate([[0], np.cumsum(n)])
+        offs_c = np.concatenate([[0], np.cumsum(self.n)])
+        sel_cols, coef_cols = [], []
+        for l in range(self.num_tasks):
+            perm = self._train_col_perm(l, int(n[l]))
+            order = np.asarray(perm) if perm is not None else np.arange(int(n[l]))
+            mask = order < self.n[l]
+            sel_cols.append(offs_n[l] + np.nonzero(mask)[0])
+            coef_cols.append(offs_c[l] + order[mask])
+        sel_cols = np.concatenate(sel_cols)
+        coef_cols = np.concatenate(coef_cols)
+        sel_identity = same_n and bool(np.array_equal(sel_cols,
+                                                      np.arange(int(n.sum()))))
+        coef_identity = bool(np.array_equal(coef_cols,
+                                            np.arange(int(self.n.sum()))))
 
         def build():
             def impl(raw, xq):
@@ -585,6 +652,8 @@ class AbstractGP:
                 solver = self._query_solver_any(raw, n)
                 solver_mean = solver if same_n else self._query_solver_any(raw, self.n)
                 coeffs = solver_mean.coeffs()
+                if not coef_identity:  # hoisted small gather
+                    coeffs = coeffs[..., coef_cols]
 
                 def one(xc):
                     prior = jnp.stack([
@@ -595,8 +664,9 @@ class AbstractGP:
                         for t in task], -2)
                     kmat = self._cross_kmat(xc, task, n, params, kmat_tasks)
                     var = jnp.maximum(
-                        prior - solver.gram_quad_diag(kmat, extra_ndim=2), 0.0)
-                    km = kmat if same_n else kmat[..., cur_cols]
+                        prior - solver.gram_quad_diag(kmat, extra_ndim=2,
+                                                      pre_permuted=pp), 0.0)
+                    km = kmat if sel_identity else kmat[..., sel_cols]
                     mean = jnp.einsum("...i,...i->...", km,
                                       coeffs[..., None, None, :])
                     return jnp.stack([jnp.broadcast_to(mean, var.shape), var], 0)
@@ -652,6 +722,7 @@ class AbstractGP:
         nb1 = int(min(x1.shape[0], nb))
         B1 = int(max(nb1, min(x1.shape[0],
                               third // (max(len(task1), 1) * max(total_n, 1) * item))))
+        pp = self._query_pre_permuted(n)
 
         def build():
             def impl(raw, xq0, xq1):
@@ -671,7 +742,10 @@ class AbstractGP:
 
                 def solve_rows(x1c):
                     kmat2c = self._cross_kmat(x1c, task1, n, params, kmat_tasks)
-                    return solver.gram_matrix_solve(kmat2c, extra_ndim=2)
+                    # pre-permuted rows in, equally-permuted solve out: the
+                    # einsum below contracts both sides in the same order
+                    return solver.gram_matrix_solve(kmat2c, extra_ndim=2,
+                                                    pre_permuted=pp)
 
                 def per_block(x1b):      # (B1, d) -> (..., T0, T1, N0, B1)
                     t_sol = self._map_query_chunks(solve_rows, x1b, nb1,

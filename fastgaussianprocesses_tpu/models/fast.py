@@ -80,15 +80,19 @@ class _FastSolver:
         offs = np.concatenate([[0], np.cumsum(sizes)])
         return [ycat[..., offs[l]:offs[l + 1]] for l in range(len(sizes))]
 
-    def gram_matrix_solve(self, ycat, extra_ndim=0):
-        """Real-space solve K^-1 y along the last axis (util.py:338-353)."""
+    def gram_matrix_solve(self, ycat, extra_ndim=0, pre_permuted=False):
+        """Real-space solve K^-1 y along the last axis (util.py:338-353).
+
+        ``pre_permuted``: the rows are in the model's query column order
+        (lattice: bit-reversed), so the transforms are gather-free plain
+        variants and the OUTPUT stays in that order."""
         ys = self._split(ycat)
-        yst = [self.model._ft(y) for y in ys]
+        yst = [self.model._ft_q(y, pre_permuted) for y in ys]
         zst = fs.solve_tilde(self.factor, yst, extra_ndim=extra_ndim)
-        zs = [jnp.real(self.model._ift(z)) for z in zst]
+        zs = [jnp.real(self.model._ift_q(z, pre_permuted)) for z in zst]
         return jnp.concatenate(zs, -1)
 
-    def gram_quad_diag(self, ycat, extra_ndim=0):
+    def gram_quad_diag(self, ycat, extra_ndim=0, pre_permuted=False):
         """Diagonal of ``Y K^-1 Y^T`` for stacked rows ``ycat``.
 
         Entirely in tilde space: the transforms are unitary (the _stabilize
@@ -98,7 +102,7 @@ class _FastSolver:
         (..., sum n) block per posterior-variance chunk.
         """
         ys = self._split(ycat)
-        yst = [self.model._ft(y) for y in ys]
+        yst = [self.model._ft_q(y, pre_permuted) for y in ys]
         zst = fs.solve_tilde(self.factor, yst, extra_ndim=extra_ndim)
         return sum(jnp.real(jnp.conj(a) * b).sum(-1) for a, b in zip(yst, zst))
 
@@ -145,6 +149,116 @@ class _FastSolver:
         return fs.dc_block(self.factor)
 
 
+class _HalfSpectrumSolver:
+    r"""Single-task Fourier solver on the rfft half spectrum.
+
+    The first Gram column and the observations are REAL, so the full
+    spectrum is Hermitian: ``lam_{n-k} = conj(lam_k)``, ``yhat_{n-k} =
+    conj(yhat_k)``.  Every reduction the solver protocol needs is then a
+    weighted half-spectrum sum (weight 2 except bins 0 and n/2), and every
+    transform is an rfft/irfft — halving the FFT work that dominates the
+    MLL step (PERF_ANALYSIS.md: the c64 FFT pair is ~82% of the step; rfft
+    measures ~2x the full FFT's rate on chip).  Bin-for-bin the effective
+    eigenvalues (scaling, noise, floor) match linalg.fast_solver's
+    single-task path exactly, so results agree with the full-spectrum
+    solver to rounding.
+
+    Selected by ``AbstractFastGP._use_half_spectrum``: single task, Fourier
+    character (lattice), no sequence mesh, debug oracle off.
+    """
+
+    def __init__(self, model, raw, n, data=None):
+        self.model = model
+        self.n = np.asarray(n, dtype=np.int64)
+        self.task_order, self.inv_task_order = (0,), (0,)
+        n0 = int(self.n[0])
+        self.n_sorted = (n0,)
+        self._data = data
+        params = model._transformed(raw)
+        kmat_tasks = model._task_gram(raw)
+        scale, ls, noise = params["scale"], params["lengthscales"], params["noise"]
+        k1p = data[0][0] if data is not None else model._get_k1parts_lam(0, 0, n0)
+        k1 = series.kernel_from_parts_t(
+            k1p, model.derivatives[0], model.derivatives[0],
+            model.derivatives_coeffs[0], model.derivatives_coeffs[0], scale, ls)
+        lam = model._ft_lam_half(k1)
+        rdt = jnp.abs(lam).dtype
+        lam = jnp.sqrt(jnp.asarray(float(n0), dtype=rdt)) * lam
+        # single task: the adaptive-nugget trace ratio is identically 1
+        lam = lam + noise
+        lam = lam * kmat_tasks[..., 0, 0][..., None]
+        eps = jnp.finfo(rdt).eps
+        floor = 8.0 * eps * jnp.max(jnp.abs(lam), axis=-1, keepdims=True)
+        self.lam = lam + floor
+        self.logdet = self._wsum(jnp.log(jnp.abs(self.lam)))
+        self.kmat_tasks = kmat_tasks
+        self.scale = scale
+        self.factor = fs.FastFactor(
+            lam_eff=None, inv=None, logdet=self.logdet,
+            n_sorted=self.n_sorted, task_order=self.task_order,
+            inv_task_order=self.inv_task_order)
+
+    @staticmethod
+    def _wsum(x):
+        """Full-spectrum sum from half-spectrum values (Hermitian pairing:
+        weight 2 on interior bins, 1 on bins 0 and n/2)."""
+        return 2.0 * x.sum(-1) - x[..., 0] - x[..., -1]
+
+    def _lam_b(self, extra_ndim):
+        lam = self.lam
+        if extra_ndim:
+            lam = lam.reshape(lam.shape[:-1] + (1,) * extra_ndim + lam.shape[-1:])
+        return lam
+
+    def _ytilde_half(self):
+        if self._data is not None:
+            return self._data[1][0]
+        return self.model._get_ytilde_half_traced(0, int(self.n[0]))
+
+    def norm_logdet_terms(self):
+        yt = self._ytilde_half()
+        zt = yt / self.lam
+        norm = self._wsum(jnp.real(jnp.conj(yt) * zt))[..., None]
+        return norm, self.logdet[..., None]
+
+    def gcv_terms(self):
+        yt = self._ytilde_half()
+        zt = yt / self.lam
+        numer = self._wsum(jnp.real(jnp.conj(zt) * zt))[..., None]
+        tr = self._wsum(jnp.real(1.0 / self.lam))
+        denom = ((tr / float(self.n.sum())) ** 2)[..., None]
+        return numer, denom
+
+    def coeffs(self):
+        yt = self._ytilde_half()
+        return self.model._ift_half(yt / self.lam, int(self.n[0]))
+
+    def gram_matrix_solve(self, ycat, extra_ndim=0, pre_permuted=False):
+        yst = self.model._ft_half_q(ycat, pre_permuted)
+        return self.model._ift_half_q(yst / self._lam_b(extra_ndim),
+                                      int(self.n[0]), pre_permuted)
+
+    def gram_quad_diag(self, ycat, extra_ndim=0, pre_permuted=False):
+        yst = self.model._ft_half_q(ycat, pre_permuted)
+        zt = yst / self._lam_b(extra_ndim)
+        return self._wsum(jnp.real(jnp.conj(yst) * zt))
+
+    def inv_diag(self):
+        n0 = int(self.n[0])
+        val = self._wsum(jnp.real(1.0 / self.lam)) / float(n0)
+        return jnp.broadcast_to(val[..., None], val.shape + (n0,))
+
+    def dc_block(self):
+        return (1.0 / self.lam[..., 0])[..., None, None]
+
+
+def make_solver(model, raw, n, data=None):
+    """Solver factory: half-spectrum (rfft) fast path when eligible."""
+    if model._use_half_spectrum(n):
+        return _HalfSpectrumSolver(model, raw, n, data=data)
+    return _FastSolver(model, raw, n, data=data)
+
+
 class AbstractFastGP(AbstractGP):
     """Shared machinery for FastGPLattice / FastGPDigitalNetB2."""
 
@@ -160,9 +274,13 @@ class AbstractFastGP(AbstractGP):
         self._solver_cache = {}    # (version, n-tuple) -> _FastSolver
         self._kernel_parts_jit = {}
         self._ytilde_parts_cache = {}
+        self._ytilde_half_cache = {}        # (task, n) -> rfft ytilde
+        self._ytilde_half_parts_cache = {}  # (task, n) -> (re, im)
         self._seq_mesh = None      # sequence-parallel mesh (None = single device)
         self._seq_axis = "seq"
         self._ft_jit = jax.jit(self._ft)
+        if self._ft_lam_half is not None:
+            self._ft_half_jit = jax.jit(self._ft_half)
 
     # -- sequence parallelism (SP over the transform axis n) --------------
     def use_sequence_sharding(self, mesh, axis: str = "seq"):
@@ -186,10 +304,18 @@ class AbstractFastGP(AbstractGP):
         """
         self._seq_mesh = mesh
         self._seq_axis = axis
-        # transforms changed: drop transform-dependent caches and re-jit
+        # transforms changed: drop transform-dependent caches and re-jit.
+        # The jitted loss/query executables capture the transform dispatch at
+        # TRACE time, so they must go too (an executable traced under the old
+        # mesh would silently keep using it).
         self._ytilde_cache.clear()
         self._ytilde_parts_cache.clear()
+        self._ytilde_half_cache.clear()
+        self._ytilde_half_parts_cache.clear()
         self._solver_cache.clear()
+        self._loss_jit.clear()
+        self._post_jit.clear()
+        self._coeffs_cache = None
         self._ft_jit = jax.jit(self._ft)
 
     # -- concrete-model hooks -------------------------------------------
@@ -295,6 +421,63 @@ class AbstractFastGP(AbstractGP):
                 self._ytilde_parts_cache[key] = (jnp.real(yt), jnp.imag(yt))
         return self._ytilde_cache[key]
 
+    # -- half-spectrum (rfft) fast path ----------------------------------
+    def _use_half_spectrum(self, n) -> bool:
+        """Eligibility for the rfft single-task solver (_HalfSpectrumSolver).
+
+        Requires: a Fourier-character model providing the half-transform
+        hooks (_ft_lam_half/_ft_half/_ift_half — the lattice model), ONE
+        task, n >= 2, no sequence mesh (the sharded transforms are
+        full-spectrum), and the dense debug oracle off (it introspects the
+        full factorization)."""
+        if getattr(self, "_ft_lam_half", None) is None or self._seq_mesh is not None:
+            return False
+        if self.num_tasks != 1 or int(np.asarray(n)[0]) < 2:
+            return False
+        from ..config import debug_checks_enabled
+        return not debug_checks_enabled()
+
+    _ft_lam_half = None  # lattice overrides with the rfft hooks
+
+    # query-row transforms: ``pre_permuted`` rows are already in the model's
+    # query column order (see AbstractGP._train_col_perm), letting Fourier
+    # models skip the bit-reversal gather; the default ignores the flag
+    def _ft_q(self, v, pre_permuted=False):
+        return self._ft(v)
+
+    def _ift_q(self, v, pre_permuted=False):
+        return self._ift(v)
+
+    def _ft_half_q(self, v, pre_permuted=False):
+        return self._ft_half(v)
+
+    def _ift_half_q(self, v, n, pre_permuted=False):
+        return self._ift_half(v, n)
+
+    def _get_ytilde_half(self, task, n):
+        """rfft of the observations (the half-spectrum solver's ytilde).
+
+        Computed directly per (task, n) — no doubling butterfly: the
+        transform runs once per data change (~0.2 ms at n=2^20), not per
+        step, and the half-spectrum merge would need a conjugate-flip
+        reconstruction for no measurable win."""
+        key = (task, n)
+        if key not in self._ytilde_half_cache:
+            yt = self._ft_half_jit(self._y[task][..., :n])
+            self._ytilde_half_cache[key] = yt
+            self._ytilde_half_parts_cache[key] = (jnp.real(yt), jnp.imag(yt))
+        return self._ytilde_half_cache[key]
+
+    def _get_ytilde_half_traced(self, task, n):
+        """Half-spectrum ytilde for use INSIDE jit traces (real/imag parts
+        recombined — complex closure constants are untransferable on some
+        TPU backends; see _get_ytilde_traced)."""
+        key = (task, n)
+        if key not in self._ytilde_half_parts_cache:
+            self._get_ytilde_half(task, n)
+        re, im = self._ytilde_half_parts_cache[key]
+        return re + 1j * im
+
     def _get_ytilde_traced(self, task, n):
         """ytilde for use INSIDE jit traces.
 
@@ -324,6 +507,10 @@ class AbstractFastGP(AbstractGP):
             if n > self._y[task].shape[-1]:
                 del self._ytilde_cache[(task, n)]
                 self._ytilde_parts_cache.pop((task, n), None)
+        for (task, n) in list(self._ytilde_half_cache):
+            if n > self._y[task].shape[-1]:
+                del self._ytilde_half_cache[(task, n)]
+                self._ytilde_half_parts_cache.pop((task, n), None)
         self._solver_cache.clear()
 
     # -- solver ----------------------------------------------------------
@@ -334,7 +521,7 @@ class AbstractFastGP(AbstractGP):
         if key not in self._solver_cache:
             # warm the k1parts caches outside any trace
             self._warm_k1parts(n)
-            solver = _FastSolver(self, self._raw_dict(), n)
+            solver = make_solver(self, self._raw_dict(), n)
             from ..config import debug_checks_enabled
             if debug_checks_enabled():
                 from ..utils.debug import check_fast_solver
@@ -355,15 +542,22 @@ class AbstractFastGP(AbstractGP):
 
     def _warm_for_fit(self):
         self._warm_k1parts(self.n)
-        for l in range(self.num_tasks):
-            self._get_ytilde(l, int(self.n[l]))
+        if self._use_half_spectrum(self.n):
+            self._get_ytilde_half(0, int(self.n[0]))
+        else:
+            for l in range(self.num_tasks):
+                self._get_ytilde(l, int(self.n[l]))
 
     def _warm_extra(self, n):
         # future-n queries need first-column caches at the projected sizes
         self._warm_k1parts(np.asarray(n, dtype=np.int64))
 
     def _fit_data(self):
-        """(k1parts, ytildes) pytree handed to the jitted loss as arguments."""
+        """(k1parts, ytildes) pytree handed to the jitted loss as arguments.
+
+        In half-spectrum mode the ytilde leg carries the rfft form (what
+        _HalfSpectrumSolver consumes); the two sides agree because both
+        dispatch on _use_half_spectrum."""
         task_order, _ = fs.sort_tasks(self.n)
         T = self.num_tasks
         k1parts = []
@@ -372,7 +566,10 @@ class AbstractFastGP(AbstractGP):
                 to0, to1 = task_order[l0], task_order[l1]
                 nlen = int(self.n[task_order[l0]])
                 k1parts.append(self._get_k1parts_lam(min(to0, to1), max(to0, to1), nlen))
-        ytildes = [self._get_ytilde(l, int(self.n[l])) for l in range(T)]
+        if self._use_half_spectrum(self.n):
+            ytildes = [self._get_ytilde_half(0, int(self.n[0]))]
+        else:
+            ytildes = [self._get_ytilde(l, int(self.n[l])) for l in range(T)]
         if self._seq_mesh is not None:
             from ..parallel.mesh import seq_sharding_for
             k1parts = [jax.device_put(p, seq_sharding_for(p.ndim, self._seq_mesh,
@@ -384,10 +581,10 @@ class AbstractFastGP(AbstractGP):
         return (tuple(k1parts), tuple(ytildes))
 
     def _solver_pure(self, raw, data=None):
-        return _FastSolver(self, raw, self.n, data=data)
+        return make_solver(self, raw, self.n, data=data)
 
     def _query_solver_any(self, raw, n):
-        return _FastSolver(self, raw, np.asarray(n, dtype=np.int64))
+        return make_solver(self, raw, np.asarray(n, dtype=np.int64))
 
     # -- data ingestion guards (abstract_fast_gp.py:32-40) ---------------
     def get_x_next(self, n, task=None):

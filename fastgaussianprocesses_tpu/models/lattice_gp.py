@@ -145,6 +145,45 @@ class FastGPLattice(AbstractFastGP):
             return self._ft(k1)
         return tr.ft_stable_plain_fft(k1)
 
+    # half-spectrum (rfft) hooks: k1 and y are real, so the single-task
+    # solver runs on the Hermitian half spectrum (models/fast.py
+    # _HalfSpectrumSolver) — ~2x on the FFT passes that dominate the step
+    def _ft_lam_half(self, k1):
+        return tr.rfft_stable_plain(k1)
+
+    def _ft_half(self, v):
+        return tr.rfft_stable_lattice(v)
+
+    def _ift_half(self, z_half, n):
+        return tr.irfft_br(z_half, n)
+
+    # -- gather-free query transforms ------------------------------------
+    # Cross-kernel queries feed the solver rows whose TRAINING columns are
+    # already bit-reversed (_train_col_perm), so the per-chunk transform is
+    # a plain (r)fft: jnp.take along a 2^20 axis costs multiples of the FFT
+    # on TPU and dominated the round-3 lattice posterior query.
+    def _train_col_perm(self, l, n):
+        if self._seq_mesh is not None or n < 2:
+            return None
+        from ..ops.bitops import bit_reverse_permutation, log2_int
+        return bit_reverse_permutation(log2_int(int(n)))
+
+    def _ft_q(self, v, pre_permuted=False):
+        if pre_permuted and self._seq_mesh is None:
+            return tr.ft_stable_plain_fft(v)
+        return self._ft(v)
+
+    def _ift_q(self, v, pre_permuted=False):
+        if pre_permuted and self._seq_mesh is None:
+            return tr.ift_stable_plain(v)
+        return self._ift(v)
+
+    def _ft_half_q(self, v, pre_permuted=False):
+        return tr.rfft_stable_plain(v) if pre_permuted else self._ft_half(v)
+
+    def _ift_half_q(self, v, n, pre_permuted=False):
+        return tr.irfft_plain(v, n) if pre_permuted else self._ift_half(v, n)
+
     def _point_class(self, task, n_l, r_l):
         """Class of point i for exact inverse diagonals: rho_m(i) mod r_l."""
         from ..ops.bitops import bit_reverse_permutation, log2_int

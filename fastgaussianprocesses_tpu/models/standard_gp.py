@@ -119,13 +119,14 @@ class _StandardSolver:
         self.scale, self.lengthscales = scale, ls
         self.noise = noise
 
-    def gram_matrix_solve(self, ycat, extra_ndim=0):
+    def gram_matrix_solve(self, ycat, extra_ndim=0, pre_permuted=False):
+        assert not pre_permuted  # dense path has no query column reorder
         inv = self.thetainv
         if extra_ndim:
             inv = inv.reshape(inv.shape[:-2] + (1,) * extra_ndim + inv.shape[-2:])
         return jnp.einsum("...ij,...j->...i", inv, ycat)
 
-    def gram_quad_diag(self, ycat, extra_ndim=0):
+    def gram_quad_diag(self, ycat, extra_ndim=0, pre_permuted=False):
         """Diagonal of ``Y K^-1 Y^T`` (dense path: solve then contract)."""
         return (self.gram_matrix_solve(ycat, extra_ndim=extra_ndim) * ycat).sum(-1)
 

@@ -162,6 +162,62 @@ def ft_stable_fwht(x: jax.Array) -> jax.Array:
     return _stabilize(fwht_best, x)
 
 
+def rfft_stable_plain(x: jax.Array) -> jax.Array:
+    """Mean-centered orthonormal rfft of pre-permuted REAL input.
+
+    Returns the half spectrum (n//2 + 1 bins) of ``ft_stable_plain_fft``;
+    real inputs make the full spectrum Hermitian, so the half carries
+    everything and the FFT costs ~half (measured 193 us vs 373 us at
+    n = 2^20 f32 on chip — PERF_ANALYSIS.md section 4)."""
+    n = x.shape[-1]
+    if n == 1:
+        return x.astype(_complex_dtype(x.dtype))
+    xmean = jnp.mean(x, axis=-1, keepdims=True)
+    y = jnp.fft.rfft(x - xmean) * (1.0 / math.sqrt(n))
+    bump = (xmean[..., 0] * jnp.asarray(math.sqrt(n), dtype=xmean.dtype)).astype(y.dtype)
+    return y.at[..., 0].add(bump)
+
+
+def rfft_stable_lattice(x: jax.Array) -> jax.Array:
+    """Half-spectrum counterpart of :func:`ft_stable_lattice` (bit-reversal
+    permutation folded in; mean-centering commutes with the permutation)."""
+    n = x.shape[-1]
+    if n == 1:
+        return x.astype(_complex_dtype(x.dtype))
+    m = log2_int(n)
+    perm = jnp.asarray(bit_reverse_permutation(m).astype(np.int32))
+    return rfft_stable_plain(jnp.take(x, perm, axis=-1))
+
+
+def ift_stable_plain(x: jax.Array) -> jax.Array:
+    """Orthonormal IFFT WITHOUT the bit-reversal gather: output stays in
+    bit-reversed order (= ``ifftbr`` composed with the involution)."""
+    n = x.shape[-1]
+    if n == 1:
+        return x
+    return _stabilize(lambda v: jnp.fft.ifft(v) * math.sqrt(n), x)
+
+
+def irfft_plain(x_half: jax.Array, n: int) -> jax.Array:
+    """Real-space inverse of the orthonormal half-spectrum transform with
+    output left in bit-reversed order (no gather)."""
+    if n == 1:
+        return jnp.real(x_half)
+    return jnp.fft.irfft(x_half, n) * math.sqrt(n)
+
+
+def irfft_br(x_half: jax.Array, n: int) -> jax.Array:
+    """Real-space inverse of the orthonormal half-spectrum transform with
+    bit-reversed output order — equals ``real(ifftbr(full_spectrum))`` for
+    Hermitian full spectra."""
+    if n == 1:
+        return jnp.real(x_half)
+    m = log2_int(n)
+    perm = jnp.asarray(bit_reverse_permutation(m).astype(np.int32))
+    # jnp.fft.irfft applies 1/n; rescale by sqrt(n) for the orthonormal form
+    return jnp.take(jnp.fft.irfft(x_half, n) * math.sqrt(n), perm, axis=-1)
+
+
 def get_omega_lattice(m: int, dtype=jnp.complex128) -> jax.Array:
     """Twiddles ``exp(-i pi k / 2^m)`` for the lattice doubling butterfly.
 

@@ -377,3 +377,35 @@ def test_multitask_above_schur_ceiling_matches_dense(model_cls):
     solver = fgp._solver()
     _, logdet = np.linalg.slogdet(K)
     np.testing.assert_allclose(float(solver.factor.logdet), logdet, rtol=1e-7)
+
+
+def test_half_spectrum_solver_matches_full():
+    """The rfft half-spectrum solver (single-task lattice default) agrees
+    with the full-spectrum solver on every protocol output."""
+    from fastgaussianprocesses_tpu.models.fast import (_FastSolver,
+                                                       _HalfSpectrumSolver)
+
+    fgp = _make(FastGPLattice, 2**7, d=3, noise=1e-6)
+    assert fgp._use_half_spectrum(fgp.n)
+    raw = fgp._raw_dict()
+    full = _FastSolver(fgp, raw, fgp.n)
+    half = _HalfSpectrumSolver(fgp, raw, fgp.n)
+    for name in ("norm_logdet_terms", "gcv_terms"):
+        a = getattr(full, name)()
+        b = getattr(half, name)()
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=1e-10,
+                                       err_msg=name)
+    np.testing.assert_allclose(np.asarray(half.coeffs()),
+                               np.asarray(full.coeffs()), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(half.inv_diag()),
+                               np.asarray(full.inv_diag()), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(half.dc_block()),
+                               np.asarray(full.dc_block()), rtol=1e-10)
+    rows = jnp.asarray(np.random.default_rng(2).standard_normal((4, 2**7)))
+    np.testing.assert_allclose(np.asarray(half.gram_matrix_solve(rows, extra_ndim=1)),
+                               np.asarray(full.gram_matrix_solve(rows, extra_ndim=1)),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(half.gram_quad_diag(rows, extra_ndim=1)),
+                               np.asarray(full.gram_quad_diag(rows, extra_ndim=1)),
+                               rtol=1e-9)
