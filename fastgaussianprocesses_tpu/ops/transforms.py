@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .bitops import bit_reverse_permutation, log2_int
+from .mxu_fft import fft_best, ifft_best
 
 
 @functools.lru_cache(maxsize=32)
@@ -96,7 +97,7 @@ def fftbr(x: jax.Array) -> jax.Array:
     # reject) and explicit 1/sqrt(n) normalization (jnp's norm="ortho" runs
     # an eager int64 reduction restricted TPU backends reject)
     xc = x.astype(_complex_dtype(x.dtype)) if not jnp.iscomplexobj(x) else x
-    return jnp.fft.fft(jnp.take(xc, perm, axis=-1)) * (1.0 / math.sqrt(n))
+    return fft_best(jnp.take(xc, perm, axis=-1)) * (1.0 / math.sqrt(n))
 
 
 def ifftbr(x: jax.Array) -> jax.Array:
@@ -106,8 +107,8 @@ def ifftbr(x: jax.Array) -> jax.Array:
         return x
     m = log2_int(n)
     perm = jnp.asarray(bit_reverse_permutation(m).astype(np.int32))
-    # jnp.fft.ifft applies 1/n; rescale by sqrt(n) for the orthonormal form
-    return jnp.take(jnp.fft.ifft(x) * math.sqrt(n), perm, axis=-1)
+    # the inverse applies 1/n; rescale by sqrt(n) for the orthonormal form
+    return jnp.take(ifft_best(x) * math.sqrt(n), perm, axis=-1)
 
 
 def _complex_dtype(real_dtype):
@@ -138,7 +139,7 @@ def _fft_plain(x: jax.Array) -> jax.Array:
     if n == 1:
         return x.astype(_complex_dtype(x.dtype))
     xc = x.astype(_complex_dtype(x.dtype)) if not jnp.iscomplexobj(x) else x
-    return jnp.fft.fft(xc) * (1.0 / math.sqrt(n))
+    return fft_best(xc) * (1.0 / math.sqrt(n))
 
 
 def ft_stable_plain_fft(x: jax.Array) -> jax.Array:
@@ -173,7 +174,7 @@ def rfft_stable_plain(x: jax.Array) -> jax.Array:
     if n == 1:
         return x.astype(_complex_dtype(x.dtype))
     xmean = jnp.mean(x, axis=-1, keepdims=True)
-    y = jnp.fft.rfft(x - xmean) * (1.0 / math.sqrt(n))
+    y = _rfft_raw(x - xmean) * (1.0 / math.sqrt(n))
     bump = (xmean[..., 0] * jnp.asarray(math.sqrt(n), dtype=xmean.dtype)).astype(y.dtype)
     return y.at[..., 0].add(bump)
 
@@ -189,13 +190,35 @@ def rfft_stable_lattice(x: jax.Array) -> jax.Array:
     return rfft_stable_plain(jnp.take(x, perm, axis=-1))
 
 
+def _rfft_raw(x: jax.Array) -> jax.Array:
+    """rfft dispatch: on TPU at mxu_fft sizes, the full MXU FFT + half-slice
+    beats the backend rfft (96 vs 193 us at n=2^20); elsewhere jnp.fft.rfft."""
+    from .mxu_fft import _MIN_M_DISPATCH, _on_tpu, fft_mxu
+
+    n = x.shape[-1]
+    if _on_tpu() and n == (n & -n) and log2_int(n) >= _MIN_M_DISPATCH:
+        return fft_mxu(x)[..., :n // 2 + 1]
+    return jnp.fft.rfft(x)
+
+
+def _irfft_raw(x_half: jax.Array, n: int) -> jax.Array:
+    """irfft dispatch mirroring :func:`_rfft_raw` (Hermitian reconstruction
+    + MXU inverse on TPU at supported sizes)."""
+    from .mxu_fft import _MIN_M_DISPATCH, _on_tpu, ifft_mxu
+
+    if _on_tpu() and n == (n & -n) and log2_int(n) >= _MIN_M_DISPATCH:
+        full = jnp.concatenate([x_half, jnp.conj(x_half[..., -2:0:-1])], -1)
+        return jnp.real(ifft_mxu(full))
+    return jnp.fft.irfft(x_half, n)
+
+
 def ift_stable_plain(x: jax.Array) -> jax.Array:
     """Orthonormal IFFT WITHOUT the bit-reversal gather: output stays in
     bit-reversed order (= ``ifftbr`` composed with the involution)."""
     n = x.shape[-1]
     if n == 1:
         return x
-    return _stabilize(lambda v: jnp.fft.ifft(v) * math.sqrt(n), x)
+    return _stabilize(lambda v: ifft_best(v) * math.sqrt(n), x)
 
 
 def irfft_plain(x_half: jax.Array, n: int) -> jax.Array:
@@ -203,7 +226,7 @@ def irfft_plain(x_half: jax.Array, n: int) -> jax.Array:
     output left in bit-reversed order (no gather)."""
     if n == 1:
         return jnp.real(x_half)
-    return jnp.fft.irfft(x_half, n) * math.sqrt(n)
+    return _irfft_raw(x_half, n) * math.sqrt(n)
 
 
 def irfft_br(x_half: jax.Array, n: int) -> jax.Array:
@@ -214,8 +237,8 @@ def irfft_br(x_half: jax.Array, n: int) -> jax.Array:
         return jnp.real(x_half)
     m = log2_int(n)
     perm = jnp.asarray(bit_reverse_permutation(m).astype(np.int32))
-    # jnp.fft.irfft applies 1/n; rescale by sqrt(n) for the orthonormal form
-    return jnp.take(jnp.fft.irfft(x_half, n) * math.sqrt(n), perm, axis=-1)
+    # the inverse applies 1/n; rescale by sqrt(n) for the orthonormal form
+    return jnp.take(_irfft_raw(x_half, n) * math.sqrt(n), perm, axis=-1)
 
 
 def get_omega_lattice(m: int, dtype=jnp.complex128) -> jax.Array:

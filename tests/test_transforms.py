@@ -142,3 +142,40 @@ def test_fwht_best_dispatch_routing(monkeypatch):
     taken.clear()
     pf.fwht_best(jnp.zeros((8, 1000), jnp.float32))  # non power of two
     assert taken[0] == "xla"
+
+
+@pytest.mark.parametrize("n", [128, 256, 1 << 12, 1 << 14, 1 << 16])
+def test_mxu_fft_matches_jnp_fft(n):
+    """The matmul-factorized (MXU) FFT equals jnp.fft exactly to f64
+    rounding, forward and inverse, real and complex input, batched."""
+    from fastgaussianprocesses_tpu.ops.mxu_fft import fft_mxu, ifft_mxu
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+    want = np.fft.fft(x)
+    got = np.asarray(fft_mxu(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-8)
+    xr = rng.standard_normal((2, n))
+    np.testing.assert_allclose(np.asarray(fft_mxu(jnp.asarray(xr))),
+                               np.fft.fft(xr), rtol=1e-11, atol=1e-8)
+    rt = np.asarray(ifft_mxu(jnp.asarray(want)))
+    np.testing.assert_allclose(rt, x, rtol=1e-11, atol=1e-9)
+
+
+def test_mxu_fft_linear_vjp():
+    import jax
+    """Reverse-mode through the einsum FFT equals the analytic adjoint
+    (the transform is linear: VJP of fft is n * ifft of the conj pattern)."""
+    from fastgaussianprocesses_tpu.ops.mxu_fft import fft_mxu
+
+    n = 1 << 10
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(n))
+    w = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+
+    def loss(v):
+        return jnp.real(jnp.vdot(w, fft_mxu(v)))
+
+    g = np.asarray(jax.grad(loss)(x))
+    want = np.real(np.conj(np.fft.fft(np.conj(np.asarray(w)))))
+    np.testing.assert_allclose(g, want, rtol=1e-10, atol=1e-9)
