@@ -115,11 +115,31 @@ extrapolates to ~1 s/step at that size).
 
 {table(results, "time_per_step", REF_TIME)}
 
-## Notes / explained deviations
+## Notes / explained deviations (round 4)
 
+* **Same-points control runs** (`examples/reference_control.py`, results in
+  `examples/reference_control_results.json`): the UNMODIFIED reference
+  library, run against OUR point sequences through a minimal qmcpy shim
+  (`examples/refshim`), reproduces our l2 AND our attained MLL to ~1e-10
+  on the lattice cells (hartmann 0.06690 both / mll 754.57 both; stytang
+  l2 and mll identical) — behavior parity is exact, so any residual gap vs
+  the PUBLISHED table is the reference's specific qmcpy randomization
+  draw, not a code difference.
+* **Hartmann cells**: round 3 benchmarked the plain ``-sum alpha exp``
+  Hartmann-6; the reference's benchmark uses the RESCALED variant
+  ``-(2.58 + sum)/1.94`` (probnum25 cell 7), whose offset raises ||y|| in
+  the relative-error denominator ~3x.  With the correct function every
+  hartmann cell beats the published value (e.g. SI f 6.7e-2 vs 1.2e-1).
 * `hartmann/standard/grad` is capped at 25 fit iterations (the 7168-wide
-  dense multitask system is hours per full fit on this container; accuracy
-  at the cap is reported as-is — still 4.3e-2 vs the reference's 1.1e-1).
+  dense multitask system is hours per full fit on this container).
+* The two cells outside 1.5x (ackley_d1 DSI f, branin DSI grad) carry
+  control-run evidence: branin DSI grad — reference code on our points
+  gives l2 0.9077 vs our 0.9080 (identical); ackley_d1 DSI — our l2
+  0.132 sits inside the reference-code-on-our-points seed spread
+  (0.10-0.15 over 3 shifts), and the reference's own fit OVERFLOWS on
+  these points (loss spike ~3e15, early stop at iteration 10) where ours
+  descends stably — the published 7.0e-2 is a draw of qmcpy's
+  randomization.
 * DSI grad cells are poor in BOTH columns: the reference's own published
   DSI (f, grad f) errors are 3.5e-1..1.1e1.  Root cause (found while
   debugging): the DSI derivative kernel's DC block [[1, -2g],[-2g, 4g]]
@@ -131,21 +151,12 @@ extrapolates to ~1 s/step at that size).
   (camel 2.2e-3 vs 2.5e-1, stytang 9.8e-4 vs 1.3e0): the trace-relative
   nugget floor keeps the dense fit numerically sane where the reference's
   fit stalls.
-* MLL columns differ in SCALE, in both directions, and should be read
-  together with the L2 table: where our fit drives the noise floor far
-  lower (all SE f cells, most SI/DSI f cells) the attained MLL is much
-  HIGHER than published (up to +3.4e3 vs -1.0e2) with L2 errors 10-1000x
-  smaller — same definition (0.5*(quad + logdet + n log 2pi), verified
-  against reference abstract_gp.py:235-260), genuinely deeper optimum.
-  Grad cells show the reverse: gradient observations have O(10-100x)
-  larger marginal scale, our early stop (same rule as the reference,
-  threshold 5e-2 / wait 10) fires at 36-186 iterations before the logdet
-  term is fully worked down, so attained MLL is lower while L2 is still
-  equal-or-better in 8 of 15 grad cells.
-* The d=6 Hartmann f-cells are our weakest (1.7e-1/4.2e-1/4.1e-1 vs
-  1.4e-1/1.2e-1/1.5e-1): at n=2^10 in 6 dimensions the fit is
-  initialization-sensitive; the reference's qmcpy point sets/randomization
-  differ from ours, and no tuning was done per cell.
+* MLL columns differ in SCALE in both directions; the control runs above
+  settle the round-3 dispute by measurement: identical code on identical
+  points attains identical MLL, so the published-table MLL gaps are
+  optimization trajectories on different point draws (our fits typically
+  run ~4x more iterations before the same early-stop rule fires and reach
+  deeper optima; on the dnb2 cells the reference's fit overflows instead).
 """
     with open(os.path.join(ROOT, "BASELINE_REPRO.md"), "w") as fh:
         fh.write(out)
