@@ -132,7 +132,11 @@ extrapolates to ~1 s/step at that size).
   hartmann cell beats the published value (e.g. SI f 6.7e-2 vs 1.2e-1).
 * `hartmann/standard/grad` is capped at 25 fit iterations (the 7168-wide
   dense multitask system is hours per full fit on this container).
-* The two cells outside 1.5x (ackley_d1 DSI f, branin DSI grad) carry
+* branin SE grad: both columns are tiny (ours 2.1e-3, published 2.4e-5);
+  the control run flips the comparison — the REFERENCE code on our points
+  gets 3.4e-2, 16x worse than our code on the same points (its dense grad
+  fit conditions worse without the trace-relative nugget floor).
+* The other cells outside 1.5x (ackley_d1 DSI f, branin DSI grad) carry
   control-run evidence: branin DSI grad — reference code on our points
   gives l2 0.9077 vs our 0.9080 (identical); ackley_d1 DSI — our l2
   0.132 sits inside the reference-code-on-our-points seed spread
