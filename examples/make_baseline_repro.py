@@ -110,8 +110,8 @@ Raw results: `examples/accuracy_results_cpu_f64.json`.
 
 Hardware differs (the reference's CPU is unspecified; ours is a 2-core
 container also running the TPU relay).  The TPU production numbers are in
-BENCH_MATRIX.json (e.g. lattice MLL steps at n=2^20: 641/s — the reference
-extrapolates to ~1 s/step at that size).
+BENCH_MATRIX.json (e.g. lattice MLL steps at n=2^20: ~1540/s — the
+reference extrapolates to ~1 s/step at that size).
 
 {table(results, "time_per_step", REF_TIME)}
 

@@ -35,7 +35,11 @@ import numpy as np
 
 from .bitops import log2_int
 
-_LEAF = 128          # max DFT-matrix factor (one MXU tile)
+_LEAF = 128           # split factor (one MXU tile)
+_LEAF_MAX = 256       # largest direct DFT-matrix leaf: avoids degenerate
+                      # tiny trailing factors (2^22 = 128*128*256, not
+                      # 128*128*128*2 — a size-2 einsum level costs two
+                      # extra full passes)
 _MIN_M_DISPATCH = 14  # below this the backend FFT is already cheap
 
 
@@ -55,7 +59,7 @@ def _tw_np(rows: int, cols: int, n: int) -> np.ndarray:
 def _fft_axis2(B, L: int):
     """DFT of length L along axis -2 of (..., L, T), unnormalized."""
     dt = B.dtype
-    if L <= _LEAF:
+    if L <= _LEAF_MAX:
         return jnp.einsum("kl,...lt->...kt", jnp.asarray(_dft_np(L), dt), B)
     l1 = _LEAF
     l2 = L // l1
@@ -67,16 +71,21 @@ def _fft_axis2(B, L: int):
     return E.reshape(B.shape[:-2] + (L, T))
 
 
+@jax.jit
 def fft_mxu(x):
     """Unnormalized forward DFT along the last axis (== jnp.fft.fft).
 
-    ``x`` may be real or complex; n must be a power of two.
+    ``x`` may be real or complex; n must be a power of two.  Jitted at the
+    definition: called eagerly (e.g. the cubature path's host-side solver
+    build), the DFT/twiddle tables embed as program constants — an eager
+    device_put of a complex numpy constant is UNIMPLEMENTED on the relay
+    TPU backend; under an outer jit the wrapper inlines.
     """
     n = x.shape[-1]
     if not jnp.iscomplexobj(x):
         cdt = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
         x = x.astype(cdt)
-    if n <= _LEAF:
+    if n <= _LEAF_MAX:
         return jnp.einsum("...j,jk->...k", x, jnp.asarray(_dft_np(n), x.dtype))
     n1 = _LEAF
     n2 = n // n1
@@ -87,6 +96,7 @@ def fft_mxu(x):
     return E.reshape(x.shape[:-1] + (n,))
 
 
+@jax.jit
 def ifft_mxu(x):
     """Unnormalized-inverse DFT (== jnp.fft.ifft, including the 1/n)."""
     n = x.shape[-1]
