@@ -152,6 +152,23 @@ def _inv_logdet_closed(theta, m: int):
     return inv, jnp.log(jnp.abs(det))
 
 
+def _bmm(a, b):
+    """Batched matmul over tiny trailing block dims.
+
+    ``jnp.einsum("...ij,...jk->...ik")`` on (n_min, m, m) blocks lowers to
+    n_min tiny MXU matmuls — measured ~1 ms per einsum at n_min = 2^14,
+    m = 4 (several ms of a 12.8 ms derivative-informed step hid here,
+    round-4 profiling).  For blocks up to 8x8 the product is unrolled into
+    elementwise multiply-adds over the (n_min,) frequency axis: pure fused
+    VPU work."""
+    mi, mj, mk = a.shape[-2], a.shape[-1], b.shape[-1]
+    if max(mi, mj, mk) <= 8:
+        rows = [jnp.stack([sum(a[..., i, j] * b[..., j, k] for j in range(mj))
+                           for k in range(mk)], -1) for i in range(mi)]
+        return jnp.stack(rows, -2)
+    return jnp.einsum("...ij,...jk->...ik", a, b)
+
+
 def _inv_logdet_schur(theta, m: int):
     """Batched inverse + log|det| by recursive 2x2 block Schur complements.
 
@@ -174,13 +191,13 @@ def _inv_logdet_schur(theta, m: int):
     A, B = theta[..., :k, :k], theta[..., :k, k:]
     C, D = theta[..., k:, :k], theta[..., k:, k:]
     invA, logdetA = _inv_logdet_schur(A, k)
-    CAi = jnp.einsum("...ij,...jk->...ik", C, invA)
-    S = D - jnp.einsum("...ij,...jk->...ik", CAi, B)
+    CAi = _bmm(C, invA)
+    S = D - _bmm(CAi, B)
     invS, logdetS = _inv_logdet_schur(S, m - k)
-    AiB = jnp.einsum("...ij,...jk->...ik", invA, B)
-    TL = invA + jnp.einsum("...ij,...jk,...kl->...il", AiB, invS, CAi)
-    TR = -jnp.einsum("...ij,...jk->...ik", AiB, invS)
-    BL = -jnp.einsum("...ij,...jk->...ik", invS, CAi)
+    AiB = _bmm(invA, B)
+    TR = -_bmm(AiB, invS)
+    TL = invA - _bmm(TR, CAi)
+    BL = -_bmm(invS, CAi)
     top = jnp.concatenate([TL, TR], -1)
     bot = jnp.concatenate([BL, invS], -1)
     return jnp.concatenate([top, bot], -2), logdetA + logdetS
@@ -273,12 +290,22 @@ def solve_tilde(factor: FastFactor, tildes: Sequence[jnp.ndarray], extra_ndim: i
     batch = jnp.broadcast_shapes(*[y.shape[:-2] for y in ys])
     ys = [jnp.broadcast_to(y, batch + y.shape[-2:]) for y in ys]
     y = jnp.concatenate(ys, axis=-2)  # (..., M, n_min)
-    y = jnp.swapaxes(y, -1, -2)  # (..., n_min, M)
     inv = factor.inv
     if extra_ndim:
         inv = inv.reshape(inv.shape[:-3] + (1,) * extra_ndim + inv.shape[-3:])
-    out = jnp.einsum("...pij,...pj->...pi", inv, y)
-    out = jnp.swapaxes(out, -1, -2)  # (..., M, n_min)
+    m = inv.shape[-1]
+    if m <= 8:
+        # unrolled fused multiply-adds over (n_min,) vectors: the batched
+        # (n_min, M, M) x (n_min, M) einsum lowers to 2^14+ tiny 4x4 MXU
+        # matmuls and cost ~3 ms of a 12.8 ms derivative-informed step
+        # (round-4 measurement); M^2 elementwise terms are pure VPU work
+        rows = [sum(inv[..., :, i, j] * y[..., j, :] for j in range(m))
+                for i in range(m)]
+        out = jnp.stack(rows, axis=-2)  # (..., M, n_min)
+    else:
+        yt = jnp.swapaxes(y, -1, -2)  # (..., n_min, M)
+        out = jnp.einsum("...pij,...pj->...pi", inv, yt)
+        out = jnp.swapaxes(out, -1, -2)  # (..., M, n_min)
     outs = []
     off = 0
     for rl in r:
