@@ -163,9 +163,17 @@ class FastGPLattice(AbstractFastGP):
     # a plain (r)fft: jnp.take along a 2^20 axis costs multiples of the FFT
     # on TPU and dominated the round-3 lattice posterior query.
     def _train_col_perm(self, l, n):
-        if self._seq_mesh is not None or n < 2:
+        # All-or-nothing across tasks: n==1 gets the identity permutation
+        # (bit_reverse_permutation(0)) so that a multitask model with one
+        # tiny task still reports _query_pre_permuted == True for the other
+        # tasks' bit-reversed columns (round-4 ADVICE: a n<2 guard here made
+        # _cross_kmat permute large tasks while the solver assumed natural
+        # order, silently corrupting multitask posteriors).
+        if self._seq_mesh is not None:
             return None
         from ..ops.bitops import bit_reverse_permutation, log2_int
+        if int(n) == 0:
+            return np.arange(0, dtype=np.int64)
         return bit_reverse_permutation(log2_int(int(n)))
 
     def _ft_q(self, v, pre_permuted=False):

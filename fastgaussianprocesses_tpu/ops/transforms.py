@@ -196,7 +196,11 @@ def _rfft_raw(x: jax.Array) -> jax.Array:
     from .mxu_fft import _MIN_M_DISPATCH, _on_tpu, fft_mxu
 
     n = x.shape[-1]
-    if _on_tpu() and n == (n & -n) and log2_int(n) >= _MIN_M_DISPATCH:
+    # Real-input analog of fft_best's itemsize guard: f64 input (itemsize 8)
+    # would make fft_mxu embed complex128 constants, which the restricted
+    # TPU backend rejects — only f32 (-> c64) may take the MXU path.
+    if (_on_tpu() and n == (n & -n) and log2_int(n) >= _MIN_M_DISPATCH
+            and jnp.dtype(x.dtype).itemsize <= 4):
         return fft_mxu(x)[..., :n // 2 + 1]
     return jnp.fft.rfft(x)
 
@@ -206,7 +210,8 @@ def _irfft_raw(x_half: jax.Array, n: int) -> jax.Array:
     + MXU inverse on TPU at supported sizes)."""
     from .mxu_fft import _MIN_M_DISPATCH, _on_tpu, ifft_mxu
 
-    if _on_tpu() and n == (n & -n) and log2_int(n) >= _MIN_M_DISPATCH:
+    if (_on_tpu() and n == (n & -n) and log2_int(n) >= _MIN_M_DISPATCH
+            and jnp.dtype(x_half.dtype).itemsize <= 8):
         full = jnp.concatenate([x_half, jnp.conj(x_half[..., -2:0:-1])], -1)
         return jnp.real(ifft_mxu(full))
     return jnp.fft.irfft(x_half, n)

@@ -27,6 +27,38 @@ def test_f32_loss_and_grad_graph_is_pure(model_cls):
     assert "c128" not in txt, "complex128 leaked into the f32 loss graph"
 
 
+@pytest.mark.parametrize("model_cls", [FastGPLattice, FastGPDigitalNetB2])
+def test_f32_ci_paths_host_quantile_and_pure(model_cls, monkeypatch):
+    """post_ci/post_error/post_cubature_ci on an f32 (TPU-like) model:
+    the normal quantile must be computed HOST-SIDE (the old eager
+    jax.scipy ndtri built a float64 device array — rejected by the
+    f64-less TPU backend; round-4 VERDICT weak #3), and results stay f32."""
+    import scipy.special
+    import fastgaussianprocesses_tpu.models.abstract as A
+
+    # Any jax-level ndtri dispatch (eager f64 device op) fails the test.
+    def boom(*a, **k):
+        raise AssertionError("norm_ppf must not dispatch a jax op")
+    monkeypatch.setattr(jax.scipy.special, "ndtri", boom)
+
+    assert A.norm_ppf(0.995) == pytest.approx(float(scipy.special.ndtri(0.995)))
+
+    fgp = model_cls(2, seed_for_seq=7, dtype=jnp.float32)
+    x = np.asarray(fgp.get_x_next(64))
+    y = np.sin(2 * np.pi * x[:, 0]) * np.cos(2 * np.pi * x[:, 1]) + x.sum(1)
+    fgp.add_y_next(jnp.asarray(y, dtype=jnp.float32))
+    xq = np.random.default_rng(3).uniform(size=(8, 2))
+
+    pvar, q, perr = fgp.post_error(xq, confidence=0.95)
+    assert pvar.dtype == jnp.float32 and perr.dtype == jnp.float32
+    assert isinstance(q, float) and q == pytest.approx(1.959964, abs=1e-5)
+    pmean, pvar2, q2, lo, hi = fgp.post_ci(xq)
+    assert lo.dtype == jnp.float32 and hi.dtype == jnp.float32
+    assert bool(jnp.all(hi >= lo)) and bool(jnp.all(jnp.isfinite(lo)))
+    pcm, pcv, q3, clo, chi = fgp.post_cubature_ci()
+    assert float(chi) >= float(clo)
+
+
 def test_f32_posterior_accuracy_vs_f64():
     """float32 fast path stays within ~1e-4 relative of float64 at n=2^12."""
     results = {}

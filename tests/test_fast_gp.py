@@ -129,7 +129,11 @@ def test_future_n_projections(model_cls):
 
 
 @pytest.mark.parametrize("model_cls", [FastGPLattice, FastGPDigitalNetB2])
-@pytest.mark.parametrize("ns", [[16, 16], [64, 16], [64, 16, 4], [16, 16, 16], [128, 16, 16, 16]])
+@pytest.mark.parametrize("ns", [[16, 16], [64, 16], [64, 16, 4], [16, 16, 16], [128, 16, 16, 16],
+                                # n=1 tasks: round-4 ADVICE regression — a
+                                # mixed per-task column permutation must not
+                                # corrupt the other tasks' posteriors
+                                [64, 1], [1, 64], [16, 4, 1]])
 def test_multitask_matches_dense(model_cls, ns):
     T = len(ns)
     fgp = _make(model_cls, ns, d=2, num_tasks=T, noise=1e-4)
