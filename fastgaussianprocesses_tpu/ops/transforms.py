@@ -212,7 +212,11 @@ def _irfft_raw(x_half: jax.Array, n: int) -> jax.Array:
 
     if (_on_tpu() and n == (n & -n) and log2_int(n) >= _MIN_M_DISPATCH
             and jnp.dtype(x_half.dtype).itemsize <= 8):
-        full = jnp.concatenate([x_half, jnp.conj(x_half[..., -2:0:-1])], -1)
+        # lax.rev, NOT a negative-stride slice: the strided reversal fuses
+        # into the downstream FFT einsums as a per-element gather (measured
+        # 15.7 ms vs 160 us for one n=2^20 row on chip)
+        mid = jax.lax.rev(jnp.conj(x_half[..., 1:-1]), (x_half.ndim - 1,))
+        full = jnp.concatenate([x_half, mid], -1)
         return jnp.real(ifft_mxu(full))
     return jnp.fft.irfft(x_half, n)
 
