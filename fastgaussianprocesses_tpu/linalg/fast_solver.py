@@ -97,11 +97,16 @@ def effective_lams(lam_pairs: dict, n_sorted, kmat_tasks, noise, task_order,
     # documented f32 accuracy plateau on TPU (~1e-6 relative nugget).  The
     # reference never faces this because it mandates float64
     # (abstract_gp.py:46); this floor is what makes f32 TPU execution viable.
+    # stop_gradient: the floor is a numerical GUARD, not part of the model;
+    # differentiating through max|lam| injects an eps*n^2-scale term into
+    # hyperparameter gradients (measured round 5: +1103 on a true grad of
+    # 88 for the f32 matmul-FFT path) that is pure dtype-noise
+    # amplification and differs arbitrarily between transform backends.
     for l in range(T):
         lam_ll = out[(l, l)]
         eps = jnp.finfo(jnp.abs(lam_ll).dtype).eps
         floor = 8.0 * eps * jnp.max(jnp.abs(lam_ll), axis=-1, keepdims=True)
-        out[(l, l)] = lam_ll + floor
+        out[(l, l)] = lam_ll + jax.lax.stop_gradient(floor)
     return out
 
 

@@ -188,8 +188,10 @@ class _HalfSpectrumSolver:
         lam = lam + noise
         lam = lam * kmat_tasks[..., 0, 0][..., None]
         eps = jnp.finfo(rdt).eps
+        # stop_gradient: see linalg/fast_solver.effective_lams — a guard
+        # term whose gradient is eps-scale noise amplification
         floor = 8.0 * eps * jnp.max(jnp.abs(lam), axis=-1, keepdims=True)
-        self.lam = lam + floor
+        self.lam = lam + jax.lax.stop_gradient(floor)
         self.logdet = self._wsum(jnp.log(jnp.abs(self.lam)))
         self.kmat_tasks = kmat_tasks
         self.scale = scale
@@ -252,8 +254,108 @@ class _HalfSpectrumSolver:
         return (1.0 / self.lam[..., 0])[..., None, None]
 
 
+class _PermSpectrumSolver:
+    r"""Single-task Fourier solver on the FULL spectrum in the Pallas FFT's
+    permuted bin order (ops/pallas_fft).
+
+    The permuted layout is a pure relabeling of frequency bins: every
+    reduction the solver protocol needs is a plain sum over all n bins, the
+    DC bin stays at index 0 (cubature), and forward/inverse transforms are
+    layout-consistent by construction.  Bin-for-bin the effective
+    eigenvalues match _HalfSpectrumSolver exactly (equality-tested on CPU
+    via the interpret-mode kernel, tests/test_pallas_fft.py).
+
+    Selected by ``AbstractFastGP._use_perm_spectrum``: TPU f32, single
+    task, Fourier character, pallas-supported n, no sequence mesh, debug
+    oracle off.  vs the rfft half-spectrum path the FFT itself is ~2x
+    faster (VMEM-fused batched kernel) at the cost of full-length (n vs
+    n/2) elementwise eigen ops.
+    """
+
+    def __init__(self, model, raw, n, data=None):
+        self.model = model
+        self.n = np.asarray(n, dtype=np.int64)
+        self.task_order, self.inv_task_order = (0,), (0,)
+        n0 = int(self.n[0])
+        self.n_sorted = (n0,)
+        self._data = data
+        params = model._transformed(raw)
+        kmat_tasks = model._task_gram(raw)
+        scale, ls, noise = params["scale"], params["lengthscales"], params["noise"]
+        k1p = data[0][0] if data is not None else model._get_k1parts_lam(0, 0, n0)
+        k1 = series.kernel_from_parts_t(
+            k1p, model.derivatives[0], model.derivatives[0],
+            model.derivatives_coeffs[0], model.derivatives_coeffs[0], scale, ls)
+        lam = model._ft_lam_perm(k1)
+        rdt = jnp.abs(lam).dtype
+        lam = jnp.sqrt(jnp.asarray(float(n0), dtype=rdt)) * lam
+        lam = lam + noise          # single task: adaptive trace ratio == 1
+        lam = lam * kmat_tasks[..., 0, 0][..., None]
+        eps = jnp.finfo(rdt).eps
+        # stop_gradient: see linalg/fast_solver.effective_lams
+        floor = 8.0 * eps * jnp.max(jnp.abs(lam), axis=-1, keepdims=True)
+        self.lam = lam + jax.lax.stop_gradient(floor)
+        self.logdet = jnp.sum(jnp.log(jnp.abs(self.lam)), -1)
+        self.kmat_tasks = kmat_tasks
+        self.scale = scale
+        self.factor = fs.FastFactor(
+            lam_eff=None, inv=None, logdet=self.logdet,
+            n_sorted=self.n_sorted, task_order=self.task_order,
+            inv_task_order=self.inv_task_order)
+
+    def _lam_b(self, extra_ndim):
+        lam = self.lam
+        if extra_ndim:
+            lam = lam.reshape(lam.shape[:-1] + (1,) * extra_ndim + lam.shape[-1:])
+        return lam
+
+    def _ytilde(self):
+        if self._data is not None:
+            return self._data[1][0]
+        return self.model._get_ytilde_perm_traced(0, int(self.n[0]))
+
+    def norm_logdet_terms(self):
+        yt = self._ytilde()
+        zt = yt / self.lam
+        norm = jnp.sum(jnp.real(jnp.conj(yt) * zt), -1)[..., None]
+        return norm, self.logdet[..., None]
+
+    def gcv_terms(self):
+        yt = self._ytilde()
+        zt = yt / self.lam
+        numer = jnp.sum(jnp.real(jnp.conj(zt) * zt), -1)[..., None]
+        tr = jnp.sum(jnp.real(1.0 / self.lam), -1)
+        denom = ((tr / float(self.n.sum())) ** 2)[..., None]
+        return numer, denom
+
+    def coeffs(self):
+        yt = self._ytilde()
+        return self.model._ift_perm_coeffs(yt / self.lam, int(self.n[0]))
+
+    def gram_matrix_solve(self, ycat, extra_ndim=0, pre_permuted=False):
+        yst = self.model._ft_perm_q(ycat, pre_permuted)
+        return self.model._ift_perm_q(yst / self._lam_b(extra_ndim),
+                                      int(self.n[0]), pre_permuted)
+
+    def gram_quad_diag(self, ycat, extra_ndim=0, pre_permuted=False):
+        yst = self.model._ft_perm_q(ycat, pre_permuted)
+        zt = yst / self._lam_b(extra_ndim)
+        return jnp.sum(jnp.real(jnp.conj(yst) * zt), -1)
+
+    def inv_diag(self):
+        n0 = int(self.n[0])
+        val = jnp.sum(jnp.real(1.0 / self.lam), -1) / float(n0)
+        return jnp.broadcast_to(val[..., None], val.shape + (n0,))
+
+    def dc_block(self):
+        return (1.0 / self.lam[..., 0])[..., None, None]
+
+
 def make_solver(model, raw, n, data=None):
-    """Solver factory: half-spectrum (rfft) fast path when eligible."""
+    """Solver factory: permuted-spectrum Pallas path, then half-spectrum
+    (rfft), then the general multitask solver."""
+    if model._use_perm_spectrum(n):
+        return _PermSpectrumSolver(model, raw, n, data=data)
     if model._use_half_spectrum(n):
         return _HalfSpectrumSolver(model, raw, n, data=data)
     return _FastSolver(model, raw, n, data=data)
@@ -276,11 +378,15 @@ class AbstractFastGP(AbstractGP):
         self._ytilde_parts_cache = {}
         self._ytilde_half_cache = {}        # (task, n) -> rfft ytilde
         self._ytilde_half_parts_cache = {}  # (task, n) -> (re, im)
+        self._ytilde_perm_cache = {}        # (task, n) -> perm-spectrum ytilde
+        self._ytilde_perm_parts_cache = {}
         self._seq_mesh = None      # sequence-parallel mesh (None = single device)
         self._seq_axis = "seq"
         self._ft_jit = jax.jit(self._ft)
         if self._ft_lam_half is not None:
             self._ft_half_jit = jax.jit(self._ft_half)
+        if self._ft_lam_perm is not None:
+            self._ft_perm_jit = jax.jit(self._ft_perm)
 
     # -- sequence parallelism (SP over the transform axis n) --------------
     def use_sequence_sharding(self, mesh, axis: str = "seq"):
@@ -312,6 +418,8 @@ class AbstractFastGP(AbstractGP):
         self._ytilde_parts_cache.clear()
         self._ytilde_half_cache.clear()
         self._ytilde_half_parts_cache.clear()
+        self._ytilde_perm_cache.clear()
+        self._ytilde_perm_parts_cache.clear()
         self._solver_cache.clear()
         self._loss_jit.clear()
         self._post_jit.clear()
@@ -438,6 +546,31 @@ class AbstractFastGP(AbstractGP):
         return not debug_checks_enabled()
 
     _ft_lam_half = None  # lattice overrides with the rfft hooks
+    _ft_lam_perm = None  # lattice overrides with the Pallas perm-FFT hooks
+
+    def _use_perm_spectrum(self, n) -> bool:
+        """Eligibility for the permuted-spectrum Pallas solver
+        (_PermSpectrumSolver): TPU float32 (the kernel is f32-planes),
+        single task at a pallas-supported size, no sequence mesh, debug
+        oracle off.  ``FASTGPS_TPU_FORCE_PERM=1`` forces it on CPU (tests
+        drive the same code path through the interpret-mode kernel)."""
+        if getattr(self, "_ft_lam_perm", None) is None or self._seq_mesh is not None:
+            return False
+        if self.num_tasks != 1:
+            return False
+        n0 = int(np.asarray(n)[0])
+        from ..ops.pallas_fft import _supported
+        if not _supported(n0):
+            return False
+        import os
+        from ..ops.mxu_fft import _on_tpu
+        if not (_on_tpu() and self.dtype == jnp.float32):
+            if os.environ.get("FASTGPS_TPU_FORCE_PERM") != "1":
+                return False
+            if self.dtype != jnp.float32:
+                return False
+        from ..config import debug_checks_enabled
+        return not debug_checks_enabled()
 
     # query-row transforms: ``pre_permuted`` rows are already in the model's
     # query column order (see AbstractGP._train_col_perm), letting Fourier
@@ -478,6 +611,23 @@ class AbstractFastGP(AbstractGP):
         re, im = self._ytilde_half_parts_cache[key]
         return re + 1j * im
 
+    def _get_ytilde_perm(self, task, n):
+        """Permuted-spectrum ytilde (the Pallas solver's ytilde); computed
+        directly per (task, n) like the half-spectrum variant."""
+        key = (task, n)
+        if key not in self._ytilde_perm_cache:
+            yt = self._ft_perm_jit(self._y[task][..., :n])
+            self._ytilde_perm_cache[key] = yt
+            self._ytilde_perm_parts_cache[key] = (jnp.real(yt), jnp.imag(yt))
+        return self._ytilde_perm_cache[key]
+
+    def _get_ytilde_perm_traced(self, task, n):
+        key = (task, n)
+        if key not in self._ytilde_perm_parts_cache:
+            self._get_ytilde_perm(task, n)
+        re, im = self._ytilde_perm_parts_cache[key]
+        return re + 1j * im
+
     def _get_ytilde_traced(self, task, n):
         """ytilde for use INSIDE jit traces.
 
@@ -511,6 +661,10 @@ class AbstractFastGP(AbstractGP):
             if n > self._y[task].shape[-1]:
                 del self._ytilde_half_cache[(task, n)]
                 self._ytilde_half_parts_cache.pop((task, n), None)
+        for (task, n) in list(self._ytilde_perm_cache):
+            if n > self._y[task].shape[-1]:
+                del self._ytilde_perm_cache[(task, n)]
+                self._ytilde_perm_parts_cache.pop((task, n), None)
         self._solver_cache.clear()
 
     # -- solver ----------------------------------------------------------
@@ -542,7 +696,9 @@ class AbstractFastGP(AbstractGP):
 
     def _warm_for_fit(self):
         self._warm_k1parts(self.n)
-        if self._use_half_spectrum(self.n):
+        if self._use_perm_spectrum(self.n):
+            self._get_ytilde_perm(0, int(self.n[0]))
+        elif self._use_half_spectrum(self.n):
             self._get_ytilde_half(0, int(self.n[0]))
         else:
             for l in range(self.num_tasks):
@@ -566,7 +722,9 @@ class AbstractFastGP(AbstractGP):
                 to0, to1 = task_order[l0], task_order[l1]
                 nlen = int(self.n[task_order[l0]])
                 k1parts.append(self._get_k1parts_lam(min(to0, to1), max(to0, to1), nlen))
-        if self._use_half_spectrum(self.n):
+        if self._use_perm_spectrum(self.n):
+            ytildes = [self._get_ytilde_perm(0, int(self.n[0]))]
+        elif self._use_half_spectrum(self.n):
             ytildes = [self._get_ytilde_half(0, int(self.n[0]))]
         else:
             ytildes = [self._get_ytilde(l, int(self.n[l])) for l in range(T)]

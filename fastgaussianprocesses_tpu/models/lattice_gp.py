@@ -157,6 +157,40 @@ class FastGPLattice(AbstractFastGP):
     def _ift_half(self, z_half, n):
         return tr.irfft_br(z_half, n)
 
+    # permuted-spectrum (Pallas VMEM-fused FFT) hooks: same bit-reversed
+    # input vector space as the plain-FFT path, spectrum in the kernel's
+    # fixed permuted bin order (ops/pallas_fft) — selected on TPU f32 by
+    # models/fast._use_perm_spectrum
+    def _ft_lam_perm(self, k1):
+        return tr.pfft_stable(k1)
+
+    def _ft_perm(self, v):
+        """Model-order (natural) input: bit-reverse, then stabilized pfft."""
+        from ..ops.bitops import bit_reverse_permutation, log2_int
+        n = v.shape[-1]
+        perm = jnp.asarray(bit_reverse_permutation(log2_int(n)).astype(np.int32))
+        return tr.pfft_stable(jnp.take(v, perm, axis=-1))
+
+    def _ift_perm_coeffs(self, z, n):
+        """Inverse to natural point order (the coeffs convention): perm
+        inverse gives the bit-reversed-order vector; un-reverse it."""
+        from ..ops.bitops import bit_reverse_permutation, log2_int
+        perm = jnp.asarray(bit_reverse_permutation(log2_int(n)).astype(np.int32))
+        return jnp.take(tr.pifft_ortho_real(z, n), perm, axis=-1)
+
+    def _ft_perm_q(self, v, pre_permuted=False):
+        if pre_permuted:
+            return tr.pfft_stable(v)
+        return self._ft_perm(v)
+
+    def _ift_perm_q(self, z, n, pre_permuted=False):
+        out = tr.pifft_ortho_real(z, n)
+        if pre_permuted:
+            return out
+        from ..ops.bitops import bit_reverse_permutation, log2_int
+        perm = jnp.asarray(bit_reverse_permutation(log2_int(n)).astype(np.int32))
+        return jnp.take(out, perm, axis=-1)
+
     # -- gather-free query transforms ------------------------------------
     # Cross-kernel queries feed the solver rows whose TRAINING columns are
     # already bit-reversed (_train_col_perm), so the per-chunk transform is

@@ -152,6 +152,37 @@ def ift_stable_lattice(x: jax.Array) -> jax.Array:
     return _stabilize(ifftbr, x)
 
 
+def pfft_stable(x: jax.Array) -> jax.Array:
+    """Mean-centered orthonormal Pallas FFT, PERMUTED spectrum order.
+
+    The eigen-space solver contract: same as ``ft_stable_plain_fft`` except
+    the spectrum comes back in ``pallas_fft.spectrum_perm`` order (a fixed
+    relabeling of frequency bins; the DC bin stays at index 0, so the
+    stabilization bump lands in the right place).  Input must already be in
+    bit-reversed point order, like the plain-FFT path."""
+    from .pallas_fft import pfft  # lazy: avoids circular import
+
+    n = x.shape[-1]
+    return _stabilize(lambda v: pfft(v, n) * (1.0 / math.sqrt(n)), x)
+
+
+def pifft_ortho(z: jax.Array, n: int) -> jax.Array:
+    """Orthonormal inverse of :func:`pfft_stable`'s underlying transform;
+    output in bit-reversed point order (the same vector space the forward
+    consumed)."""
+    from .pallas_fft import pifft
+
+    return pifft(z, n) * math.sqrt(n)
+
+
+def pifft_ortho_real(z: jax.Array, n: int) -> jax.Array:
+    """Real part of :func:`pifft_ortho` without materializing the imaginary
+    plane.  NOT differentiable (no custom VJP) — query paths only."""
+    from .pallas_fft import pifft_real
+
+    return pifft_real(z, n) * np.float32(math.sqrt(n))
+
+
 def ft_stable_fwht(x: jax.Array) -> jax.Array:
     """Mean-centered orthonormal FWHT (self-inverse).
 
