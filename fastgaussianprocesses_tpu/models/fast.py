@@ -338,6 +338,13 @@ class _PermSpectrumSolver:
                                       int(self.n[0]), pre_permuted)
 
     def gram_quad_diag(self, ycat, extra_ndim=0, pre_permuted=False):
+        if pre_permuted and self.lam.ndim == 1:
+            # fully-fused VMEM kernel: sum_b Re(1/lam_b) |ft(row)_b|^2 per
+            # row with the spectrum never materialized in HBM (pallas_fft
+            # .pfft_quad) -- the posterior-variance hot path
+            from ..ops.pallas_fft import pfft_quad
+            w = jnp.real(1.0 / self.lam)
+            return pfft_quad(ycat, w, int(self.n[0]))
         yst = self.model._ft_perm_q(ycat, pre_permuted)
         zt = yst / self._lam_b(extra_ndim)
         return jnp.sum(jnp.real(jnp.conj(yst) * zt), -1)

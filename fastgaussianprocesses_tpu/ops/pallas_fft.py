@@ -416,6 +416,121 @@ def _pifft_bwd(n, _, g):
 pifft.defvjp(_pifft_fwd, _pifft_bwd)
 
 
+def _quad_kernel(x_ref, far, fai, t1r, t1i, t2r, t2i, t3r, t3i,
+                 fbhr, fbhi, fblr, fbli, w_ref, out_ref):
+    """Fused pass A + pass B + weighted quadratic reduction for ONE row
+    block: out tile's [0,0] = sum_block w * |Z|^2 where Z is this
+    k1-block's slice of the (unnormalized, mean-centered) permuted
+    spectrum.  The input row block index depends only on r, so Pallas
+    keeps it resident in VMEM across all J k1-cells -- the spectrum never
+    touches HBM.  The stabilized DC term is handled by the CALLER (w[0] is
+    zeroed; the exact m^2-term is added in XLA)."""
+    A, Bh, Bl = x_ref.shape[1:]
+    x2 = x_ref[0].reshape(A, Bh * Bl)
+    d2 = (((1,), (0,)), ((), ()))
+
+    def dota(m, z2):
+        return jax.lax.dot_general(m, z2, d2,
+                                   preferred_element_type=jnp.float32)
+
+    K1B = far.shape[0]
+    yr = dota(far[:], x2).reshape(K1B, Bh, Bl)   # pass A (real input)
+    yi = dota(fai[:], x2).reshape(K1B, Bh, Bl)
+    # reorder to (bh, k1, bl) like _passb_kernel's input contract
+    yr2 = jnp.transpose(yr, (1, 0, 2))
+    yi2 = jnp.transpose(yi, (1, 0, 2))
+    a_r = jnp.transpose(t1r[:], (1, 0))[:, :, None]
+    a_i = jnp.transpose(t1i[:], (1, 0))[:, :, None]
+    yr2, yi2 = yr2 * a_r - yi2 * a_i, yr2 * a_i + yi2 * a_r
+    b_r, b_i = t2r[:][None, :, :], t2i[:][None, :, :]
+    yr2, yi2 = yr2 * b_r - yi2 * b_i, yr2 * b_i + yi2 * b_r
+    yr3 = yr2.reshape(Bh, K1B * Bl)
+    yi3 = yi2.reshape(Bh, K1B * Bl)
+    zr = (dota(fbhr[:], yr3) - dota(fbhi[:], yi3)).reshape(Bh, K1B, Bl)
+    zi = (dota(fbhr[:], yi3) + dota(fbhi[:], yr3)).reshape(Bh, K1B, Bl)
+    c_r, c_i = t3r[:][:, None, :], t3i[:][:, None, :]
+    zr, zi = zr * c_r - zi * c_i, zr * c_i + zi * c_r
+    zr2 = zr.reshape(Bh * K1B, Bl)
+    zi2 = zi.reshape(Bh * K1B, Bl)
+
+    def dotl(z2, m):
+        return jax.lax.dot_general(z2, m, d2,
+                                   preferred_element_type=jnp.float32)
+
+    rr, ri = dotl(zr2, fblr[:]), dotl(zr2, fbli[:])
+    ir, ii = dotl(zi2, fblr[:]), dotl(zi2, fbli[:])
+    sr = (rr - ii).reshape(Bh, K1B, Bl)
+    si = (ri + ir).reshape(Bh, K1B, Bl)
+    s = jnp.sum(w_ref[:] * (sr * sr + si * si))
+    # scalar-per-cell output as one (8, 128) tile with the value at [0, 0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    out_ref[0, 0] = jnp.where((row == 0) & (col == 0), s, 0.0)
+
+
+def pfft_quad(x, w, n: int):
+    """``sum_b w_b * |pfft_stable(x)_b|^2`` per row, fully fused in VMEM.
+
+    ``w`` carries any solver weights (permuted bin order, real, shape
+    (n,)); the 1/n orthonormal normalization is folded internally.
+    Equivalent to ``jnp.sum(w * abs(pfft_stable(x))**2, -1)``; one 4 MB
+    read per n=2^20 row instead of the ~28 MB of the materialized
+    two-pass path.  NOT differentiable (query paths only)."""
+    A, Bh, Bl, K1B = _plan(n)
+    J = A // K1B
+    x2, lead = _flatten_batch(x)
+    x2 = x2.astype(jnp.float32)
+    R = x2.shape[0]
+    m = jnp.mean(x2, axis=-1)
+    xm = (x2 - m[:, None]).reshape(R, A, Bh, Bl)
+    t = _tables(n, inverse=False)
+    consts = [t["FA"][0], t["FA"][1],
+              t["T1"][0], t["T1"][1], t["T2"][0], t["T2"][1],
+              t["T3"][0], t["T3"][1], t["FBh"][0], t["FBh"][1],
+              t["FBl"][0], t["FBl"][1]]
+    consts = [jnp.asarray(c) for c in consts]
+    blocked_k1 = [True, True, True, True, True, True,
+                  False, False, False, False, False, False]
+    z = np.int32(0)
+    in_specs = [
+        pl.BlockSpec((1, A, Bh, Bl), lambda r, j: (r, z, z, z),
+                     memory_space=pltpu.VMEM),
+    ]
+    for cst, blk in zip(consts, blocked_k1):
+        if blk:
+            in_specs.append(pl.BlockSpec(
+                (K1B, cst.shape[1]), lambda r, j: (j, z),
+                memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(pl.BlockSpec(
+                cst.shape, lambda r, j: (z, z), memory_space=pltpu.VMEM))
+    # weights in permuted order, viewed (Bh, A, Bl), blocked along k1;
+    # the kernel sees the UNNORMALIZED spectrum so fold in 1/n, and zero
+    # the DC weight (its exact stabilized term is added below)
+    w32 = jnp.asarray(w, jnp.float32)
+    wk = (w32 * np.float32(1.0 / n)).reshape(Bh, A, Bl)
+    wk = wk.at[0, 0, 0].set(0.0)
+    in_specs.append(pl.BlockSpec((Bh, K1B, Bl), lambda r, j: (z, j, z),
+                                 memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        _quad_kernel,
+        grid=(R, J),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, 8, 128), lambda r, j: (r, j, z, z),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, J, 8, 128), jnp.float32),
+        # the resident row (4 MB double-buffered) + stage temps exceed the
+        # default 16 MB scoped-vmem budget at n = 2^20; the chip has more
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xm, *consts, wk)
+    quad = jnp.sum(out[..., 0, 0], -1)
+    # exact stabilized DC term: Yhat_dc = m*sqrt(n)  ->  w_dc * n * m^2
+    quad = quad + w32[0] * np.float32(n) * m * m
+    return quad.reshape(lead)
+
+
 def pifft_real(X, n: int):
     """Real part of :func:`pifft` without materializing the imag plane."""
     X2, lead = _flatten_batch(X)

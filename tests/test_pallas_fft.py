@@ -31,6 +31,19 @@ def test_pfft_matches_numpy(n):
     assert np.abs(gotc - wantc).max() / np.abs(wantc).max() < 3e-6
 
 
+@pytest.mark.parametrize("n", [1 << 14, 1 << 15])
+def test_pfft_quad_matches_two_pass(n):
+    """Fused quadratic-form kernel == sum(w |pfft_stable|^2) (the
+    posterior-variance hot path)."""
+    from fastgaussianprocesses_tpu.ops import transforms as tr
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, n)).astype(np.float32) + 2.0)
+    w = jnp.asarray((rng.random(n) + 0.1).astype(np.float32))
+    want = np.asarray(jnp.sum(w * jnp.abs(tr.pfft_stable(x)) ** 2, -1))
+    got = np.asarray(jax.jit(pf.pfft_quad, static_argnums=2)(x, w, n))
+    assert np.abs(got - want).max() / np.abs(want).max() < 3e-6
+
+
 def test_pfft_vjp_matches_jnp_fft():
     n = 1 << 14
     perm = pf.spectrum_perm(n)
