@@ -10,11 +10,13 @@ the BASELINE.json north-star capability:
   early unconverged warmup iterates; round 2's from-step-0 pooled moments
   permanently biased the mass and cost R-hat 1.36 on the quality example);
 * static-shape trajectories (no data-dependent control flow — the whole
-  sampler is one fused XLA program) with a ``trajectory_jitter`` knob;
-  generic :func:`hmc` defaults to fixed length, while
-  :func:`sample_gp_hyperposterior` defaults to the multi-seed measured-best
-  GP-hyperposterior config: 50% jitter + dense mass
-  (examples/hmc_quality_results.json);
+  sampler is one fused XLA program): fixed length with an optional
+  ``trajectory_jitter`` window, or ChEES trajectory-TIME adaptation
+  (``trajectory_adapt="chees"``, Hoffman et al. 2021) whose leapfrog count
+  stays inside one clamped fori_loop; :func:`sample_gp_hyperposterior`
+  defaults to the 6-seed measured-best GP-hyperposterior config —
+  ChEES + dense mass, worst-seed R-hat 1.0026 and 29.4 min-ESS/1k-grads
+  at the 400/400 protocol (examples/hmc_quality_results.json);
 * chains shard over a device mesh axis simply by placing the stacked chain
   pytree with a NamedSharding: the cross-chain reductions become XLA
   collectives automatically under GSPMD (see parallel/mesh.py helpers).
@@ -37,6 +39,7 @@ class HMCResult(NamedTuple):
     step_size: jnp.ndarray
     mass_diag: dict
     state: tuple = None     # (carry, next_t): resume token for hmc(init_state=...)
+    mean_leapfrog: float = None   # mean leapfrog steps/iter (whole run)
 
 
 def _flatten(tree):
@@ -63,6 +66,7 @@ def hmc(logprob_fn: Callable, init_params, key,
         mass_decay: float = 0.99, mass_warmup_start_frac: float = 0.25,
         mass_matrix: str = "diag", target_accept: float = 0.8,
         init_jitter: float = 0.5, chain_sharding=None,
+        trajectory_adapt: str = "fixed", max_leapfrog: int = None,
         init_state=None) -> HMCResult:
     """Sample ``logprob_fn`` (pytree -> scalar) starting near ``init_params``.
 
@@ -95,11 +99,27 @@ def hmc(logprob_fn: Callable, init_params, key,
     MLL gradient.  Resume tokens are mode-specific (the dense carry holds a
     (dim, dim) moment block).
 
+    ``trajectory_adapt="chees"`` replaces the fixed/jittered length with
+    ChEES adaptation (Hoffman, Radul & Sountsov, AISTATS 2021): trajectory
+    TIME is drawn as ``t = u * 2 * T`` with ``u ~ U(0, 1)`` (halton-style
+    jitter) and the mean ``T`` follows an RMSProp ascent on the
+    Change-in-Estimator-of-Expected-Square criterion gradient, estimated
+    cross-chain from accepted end states:
+    ``dChEES/dlogT ~ E_c[alpha_c (|q'_c-qbar|^2 - |q_c-qbar|^2)
+    <q'_c - qbar, v'_c> t]``.  Leapfrog counts stay STATIC-shape friendly:
+    ``n = ceil(t/eps)`` clamped to ``[1, max_leapfrog]`` (default
+    ``4 * num_leapfrog``) inside the same fori_loop; after warmup T is
+    frozen but the u-jitter remains (the criterion is an average over the
+    jitter distribution).  This is the standard fix for fixed-length HMC's
+    R-hat plateau without NUTS's dynamic tree shapes, which XLA cannot
+    compile efficiently.
+
     Checkpoint/resume: per-step PRNG keys are ``fold_in(key, t)`` with a
     global step counter, and the scan carry is returned in ``result.state``;
     passing it back as ``init_state`` (with the same ``key``) continues the
     run BITWISE-identically to an uninterrupted one.  ``num_warmup`` counts
     from the global step 0, so a resumed run past warmup adapts no further.
+    Resume tokens are specific to the (mass_matrix, trajectory_adapt) pair.
     """
     flat0, spec = _flatten(init_params)
     dim = flat0.shape[0]
@@ -120,6 +140,9 @@ def hmc(logprob_fn: Callable, init_params, key,
     v_and_g = jax.vmap(val_and_grad)
     dense = mass_matrix == "dense"
     assert mass_matrix in ("diag", "dense"), mass_matrix
+    chees = trajectory_adapt == "chees"
+    assert trajectory_adapt in ("fixed", "chees"), trajectory_adapt
+    Lmax = int(max_leapfrog) if max_leapfrog else 4 * num_leapfrog
 
     def apply_inv_mass(inv_mass, p):
         # inv_mass: (dim,) in diag mode, symmetric (dim, dim) in dense mode
@@ -168,19 +191,28 @@ def hmc(logprob_fn: Callable, init_params, key,
         return z / jnp.sqrt(inv_mass)
 
     def step(carry, inputs):
-        q, log_eps, h_bar, log_eps_bar, mass_mean, mass_sq, count, adapting = carry
+        (q, log_eps, h_bar, log_eps_bar, mass_mean, mass_sq, count,
+         log_T, rms_v, adapting) = carry
         k, t, mass_adapting = inputs
         kp, kl, ku = jax.random.split(k, 3)
         inv_mass = estimate_inv_mass(mass_mean, mass_sq, count)
         eps = jnp.exp(log_eps)
         p = sample_momentum(kp, inv_mass)
-        # trajectory length: fixed by default; optional uniform jitter window
-        # (static decision — trajectory_jitter is a Python float)
-        lo = max(1, int(round(num_leapfrog * (1.0 - trajectory_jitter))))
-        if lo >= num_leapfrog:
-            n_steps = num_leapfrog
+        if chees:
+            # trajectory TIME t = u * 2T, u ~ U(0,1); leapfrog count derived
+            # from the current step size, clamped to the static bound
+            u = jax.random.uniform(kl, (), dtype=dtype)
+            t_traj = 2.0 * u * jnp.exp(log_T)
+            n_steps = jnp.clip(jnp.ceil(t_traj / eps).astype(jnp.int32),
+                               1, Lmax)
         else:
-            n_steps = jax.random.randint(kl, (), lo, num_leapfrog + 1)
+            # fixed by default; optional uniform jitter window (static
+            # decision — trajectory_jitter is a Python float)
+            lo = max(1, int(round(num_leapfrog * (1.0 - trajectory_jitter))))
+            if lo >= num_leapfrog:
+                n_steps = num_leapfrog
+            else:
+                n_steps = jax.random.randint(kl, (), lo, num_leapfrog + 1)
         lp0, _ = v_and_g(q)
         h0 = lp0 - kinetic(p, inv_mass)
         q_new, p_new = leapfrog(q, p, eps, inv_mass, n_steps)
@@ -189,6 +221,27 @@ def hmc(logprob_fn: Callable, init_params, key,
         log_alpha = jnp.minimum(h1 - h0, 0.0)
         log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
         accept = jnp.log(jax.random.uniform(ku, (num_chains,), dtype=dtype)) < log_alpha
+        if chees:
+            # ChEES criterion gradient wrt log T, estimated cross-chain on
+            # the PROPOSED end states, acceptance-weighted (Hoffman et al.
+            # 2021 eq. 8-10); RMSProp ascent during warmup only
+            qbar = q_new.mean(0)
+            dq_new = q_new - qbar
+            dq_old = q - qbar
+            crit = (dq_new ** 2).sum(-1) - (dq_old ** 2).sum(-1)
+            vel = apply_inv_mass(inv_mass, p_new)
+            g_c = crit * (dq_new * vel).sum(-1)
+            w_a = jnp.exp(log_alpha)
+            grad = (w_a * g_c).sum() / jnp.maximum(w_a.sum(), 1e-6) * t_traj
+            grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
+            rms_v = jnp.where(adapting, 0.9 * rms_v + 0.1 * grad * grad, rms_v)
+            log_T = jnp.where(
+                adapting,
+                log_T + 0.025 * grad / jnp.sqrt(rms_v + 1e-10), log_T)
+            # keep 2T/eps inside the static leapfrog bound (and >= 1 step)
+            log_T = jnp.clip(log_T,
+                             log_eps - jnp.asarray(math.log(2.0), dtype),
+                             log_eps + jnp.asarray(math.log(0.5 * Lmax), dtype))
         q = jnp.where(accept[:, None], q_new, q)
         lp = jnp.where(accept, lp1, lp0)
         # dual averaging on the cross-chain mean acceptance (psum under SPMD);
@@ -215,15 +268,21 @@ def hmc(logprob_fn: Callable, init_params, key,
         mass_mean = jnp.where(mass_on, mass_decay * mass_mean + q.mean(0), mass_mean)
         mass_sq = jnp.where(mass_on, mass_decay * mass_sq + sq_upd, mass_sq)
         count = jnp.where(mass_on, mass_decay * count + 1.0, count)
-        new_carry = (q, log_eps, h_bar, log_eps_bar, mass_mean, mass_sq, count, adapting)
-        return new_carry, (q, lp, accept.mean())
+        new_carry = (q, log_eps, h_bar, log_eps_bar, mass_mean, mass_sq,
+                     count, log_T, rms_v, adapting)
+        return new_carry, (q, lp, accept.mean(),
+                           jnp.asarray(n_steps, dtype))
 
     if init_state is None:
         start_t = 0
         sq0 = jnp.zeros((dim, dim) if dense else (dim,), dtype=dtype)
+        # T0: mean trajectory time eps0 * num_leapfrog (mean leapfrog count
+        # starts at num_leapfrog since E[2u] = 1)
         init_carry = (q0, jnp.asarray(math.log(0.1), dtype=dtype), jnp.asarray(0.0, dtype=dtype),
                       jnp.asarray(math.log(0.1), dtype=dtype), jnp.zeros(dim, dtype=dtype),
                       sq0, jnp.asarray(0.0, dtype=dtype),
+                      jnp.asarray(math.log(eps0 * num_leapfrog), dtype=dtype),
+                      jnp.asarray(0.0, dtype=dtype),
                       jnp.asarray(True))
         total = num_warmup + num_samples
     else:
@@ -254,8 +313,9 @@ def hmc(logprob_fn: Callable, init_params, key,
         return step(carry, (k, t, mass_adapting))
 
     run = jax.jit(lambda c, xs: jax.lax.scan(scan_step, c, xs))
-    final_carry, (qs, lps, acc) = run(init_carry,
-                                      (ts_int, ts, adapt_flags, mass_flags))
+    final_carry, (qs, lps, acc, nst) = run(
+        init_carry, (ts_int, ts, adapt_flags, mass_flags))
+    mean_leapfrog = float(nst.mean())
     qs = qs[n_keep_warm:]
     lps = lps[n_keep_warm:]
     acc = acc[n_keep_warm:]
@@ -271,7 +331,8 @@ def hmc(logprob_fn: Callable, init_params, key,
     mass = _unflatten(inv_mass_final, spec)
     return HMCResult(samples=samples, log_prob=lps, accept_rate=acc.mean(),
                      step_size=jnp.exp(final_carry[3]), mass_diag=mass,
-                     state=(final_carry, start_t + total))
+                     state=(final_carry, start_t + total),
+                     mean_leapfrog=mean_leapfrog)
 
 
 # ---------------------------------------------------------------------------
@@ -352,9 +413,10 @@ def effective_sample_size(x, rank_normalized=True):
 def sample_gp_hyperposterior(model, num_samples=500, num_warmup=500,
                              num_chains=8, seed=0, prior_std=3.0,
                              include=("scale", "lengthscales"),
-                             num_leapfrog=16, trajectory_jitter=0.5,
+                             num_leapfrog=32, trajectory_jitter=0.5,
                              mass_decay=0.99, mass_warmup_start_frac=0.25,
-                             mass_matrix="dense", target_accept=0.8,
+                             mass_matrix="dense", target_accept=0.9,
+                             trajectory_adapt="chees", max_leapfrog=None,
                              chain_sharding=None, resume_state=None):
     """Sample the hyperposterior of a GP model's raw hyperparameters.
 
@@ -364,14 +426,16 @@ def sample_gp_hyperposterior(model, num_samples=500, num_warmup=500,
     dict.  Works for any model exposing the solver protocol (fast or dense).
 
     Defaults differ from generic :func:`hmc` where GP hyperposteriors have
-    a measured preference (multi-seed protocol,
-    examples/hmc_quality_results.json): FULL-covariance inverse mass
-    (``mass_matrix="dense"`` — low-dimensional targets with a strong
-    scale/lengthscale ridge), 50%-jittered trajectories and L = 16.
-    Under round 4's corrected diagnostics (fixed-mu dual averaging +
-    rank-normalized var_plus ESS) the 6-seed sweep puts L16+jitter+dense
-    first on BOTH axes: worst-seed R-hat 1.25 (next best 1.28) and
-    5.2 ESS per 1k gradient evaluations (next best 2.9).
+    a measured preference (6-seed protocol, examples/hmc_quality_results
+    .json): FULL-covariance inverse mass (``mass_matrix="dense"`` —
+    low-dimensional targets with a strong scale/lengthscale ridge) and
+    ChEES trajectory-time adaptation seeded at T0 = eps0 * 32 with
+    target_accept = 0.9.  Round-5 measured (400/400, 8 chains, seeds
+    11-16): worst-seed max R-hat 1.0026 and mean 29.4 min-ESS per 1k
+    gradient evaluations, vs 1.364 / 8.2 for round 4's jittered fixed-L16
+    default (the T0/cap matters: ChEES seeded at eps0*16 left one seed
+    stuck at R-hat 1.43).  ``trajectory_jitter`` only applies when
+    ``trajectory_adapt="fixed"``.
     """
     model._warm_for_fit()
     d_out = int(np.prod(model.shape_batch)) if model.shape_batch else 1
@@ -395,6 +459,7 @@ def sample_gp_hyperposterior(model, num_samples=500, num_warmup=500,
                  mass_decay=mass_decay,
                  mass_warmup_start_frac=mass_warmup_start_frac,
                  mass_matrix=mass_matrix, target_accept=target_accept,
+                 trajectory_adapt=trajectory_adapt, max_leapfrog=max_leapfrog,
                  chain_sharding=chain_sharding, init_state=resume_state)
     diagnostics = {}
     for k, v in result.samples.items():
