@@ -326,9 +326,12 @@ def main():
                 "unit": "steps/s"}
 
     def _hmc():
-        # 150 warmup: the dense-mass window (starts at warmup/4) needs
-        # ~100 steps of moments before its (dim, dim) estimate stabilizes
-        sps, diags = bench_hmc(num_samples=50, num_warmup=150)
+        # 300 warmup: the ChEES trajectory-time adaptation plus the
+        # late-window dense-mass estimate need ~250 steps to settle on the
+        # f32 surface (150 was enough for fixed-length round-4 trajectories;
+        # ChEES trajectories are ~3x shorter so total gradient work is
+        # still lower)
+        sps, diags = bench_hmc(num_samples=50, num_warmup=300)
         return {"value": round(sps, 2), "unit": "samples/s",
                 "rhat_max_at_bench_budget":
                     round(max(v["rhat"] for v in diags.values()), 4)}

@@ -415,7 +415,7 @@ def sample_gp_hyperposterior(model, num_samples=500, num_warmup=500,
                              include=("scale", "lengthscales"),
                              num_leapfrog=32, trajectory_jitter=0.5,
                              mass_decay=0.99, mass_warmup_start_frac=0.25,
-                             mass_matrix="dense", target_accept=0.9,
+                             mass_matrix="dense", target_accept=None,
                              trajectory_adapt="chees", max_leapfrog=None,
                              chain_sharding=None, resume_state=None):
     """Sample the hyperposterior of a GP model's raw hyperparameters.
@@ -429,14 +429,22 @@ def sample_gp_hyperposterior(model, num_samples=500, num_warmup=500,
     a measured preference (6-seed protocol, examples/hmc_quality_results
     .json): FULL-covariance inverse mass (``mass_matrix="dense"`` —
     low-dimensional targets with a strong scale/lengthscale ridge) and
-    ChEES trajectory-time adaptation seeded at T0 = eps0 * 32 with
-    target_accept = 0.9.  Round-5 measured (400/400, 8 chains, seeds
-    11-16): worst-seed max R-hat 1.0026 and mean 29.4 min-ESS per 1k
-    gradient evaluations, vs 1.364 / 8.2 for round 4's jittered fixed-L16
-    default (the T0/cap matters: ChEES seeded at eps0*16 left one seed
-    stuck at R-hat 1.43).  ``trajectory_jitter`` only applies when
-    ``trajectory_adapt="fixed"``.
+    ChEES trajectory-time adaptation seeded at T0 = eps0 * 32, with a
+    DTYPE-AWARE acceptance target (``target_accept=None``): 0.9 at float64,
+    0.8 at float32.  The f32 MLL surface carries O(0.1-1) deterministic
+    evaluation roughness (FFT error against floored eigenvalues), which
+    caps achievable acceptance at ~0.88 regardless of step size — a 0.9
+    target there sends dual averaging into an eps -> 0 death spiral
+    (round-5 TPU bench measured R-hat 3e4 exactly this way), while at
+    float64 a 0.8 target lets one CPU seed in six stick (R-hat 2.18).
+    Round-5 measured quality: f64 400/400 6-seed worst max R-hat 1.0026,
+    mean 29.4 min-ESS/1k-grads (vs 1.364 / 8.2 for round 4's jittered
+    fixed-L16); TPU f32 200/300 R-hat 1.009.  The T0/cap seed matters:
+    ChEES from eps0*16 left one f64 seed stuck at R-hat 1.43.
+    ``trajectory_jitter`` only applies when ``trajectory_adapt="fixed"``.
     """
+    if target_accept is None:
+        target_accept = 0.9 if model.dtype == jnp.float64 else 0.8
     model._warm_for_fit()
     d_out = int(np.prod(model.shape_batch)) if model.shape_batch else 1
     mll_const = d_out * float(model.n.sum()) * math.log(2 * math.pi)

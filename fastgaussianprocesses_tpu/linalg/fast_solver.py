@@ -97,16 +97,22 @@ def effective_lams(lam_pairs: dict, n_sorted, kmat_tasks, noise, task_order,
     # documented f32 accuracy plateau on TPU (~1e-6 relative nugget).  The
     # reference never faces this because it mandates float64
     # (abstract_gp.py:46); this floor is what makes f32 TPU execution viable.
-    # stop_gradient: the floor is a numerical GUARD, not part of the model;
-    # differentiating through max|lam| injects an eps*n^2-scale term into
-    # hyperparameter gradients (measured round 5: +1103 on a true grad of
-    # 88 for the f32 matmul-FFT path) that is pure dtype-noise
-    # amplification and differs arbitrarily between transform backends.
+    # The floor IS differentiated (no stop_gradient): at near-zero `noise`
+    # the floored surface's smooth gradient component comes FROM the floor
+    # term (8*eps*max|lam| is a smooth function of the hyperparameters,
+    # while the "true" floored-bin gradients are f32 cancellation noise).
+    # Round 5 tried stop_gradient here to reconcile transform backends
+    # whose eps-scale floor gradients differ (+1103 vs +88 on one
+    # lengthscale grad) -- and TPU HMC collapsed: without the smooth floor
+    # gradient the sampler integrates pure f32 surface noise, acceptance
+    # plateaus below any target from Hamiltonian-error noise, and dual
+    # averaging drives the step size to zero (bench R-hat 3e4).  Each
+    # backend's gradient must be ITS OWN floored surface's gradient.
     for l in range(T):
         lam_ll = out[(l, l)]
         eps = jnp.finfo(jnp.abs(lam_ll).dtype).eps
         floor = 8.0 * eps * jnp.max(jnp.abs(lam_ll), axis=-1, keepdims=True)
-        out[(l, l)] = lam_ll + jax.lax.stop_gradient(floor)
+        out[(l, l)] = lam_ll + floor
     return out
 
 
@@ -165,7 +171,11 @@ def _bmm(a, b):
     m = 4 (several ms of a 12.8 ms derivative-informed step hid here,
     round-4 profiling).  For blocks up to 8x8 the product is unrolled into
     elementwise multiply-adds over the (n_min,) frequency axis: pure fused
-    VPU work."""
+    VPU work.  Do NOT replace the small-block unroll with the einsum "to
+    save compile time": einsum leaf products inside the jitted Schur
+    recursion MISCOMPILE on the CPU backend at odd split sizes (m = 9/17
+    inverses off by O(0.5) under jit, exact eagerly — round-5 bisection;
+    the unrolled form and the >8 einsum levels are both fine)."""
     mi, mj, mk = a.shape[-2], a.shape[-1], b.shape[-1]
     if max(mi, mj, mk) <= 8:
         rows = [jnp.stack([sum(a[..., i, j] * b[..., j, k] for j in range(mj))
@@ -247,9 +257,14 @@ def factorize(lams: dict, n_sorted, task_order, inv_task_order) -> FastFactor:
     # points mid-fit.  The reference's recursive Schur inverse + log|lam|
     # (util.py:299-323) tolerates this; a Cholesky would emit NaNs and kill
     # the fit.  LU matches that semantics batched on the MXU.
-    if m <= 16:
+    if m <= 64:
         # closed cofactor forms (m <= 3) / recursive block Schur: elementwise
-        # + small batched matmuls, ~90x a per-matrix pivoted LU on TPU
+        # + small batched matmuls, ~90x a per-matrix pivoted LU on TPU.
+        # Round 5 raised the ceiling 16 -> 64 (reference scales to arbitrary
+        # T via the same unpivoted recursion, util.py:300-323): the deeper
+        # recursion loses ~1 digit per level vs pivoted LU but the relative
+        # ridge bounds conditioning; dense-oracle tests pin M = 32 and the
+        # real-embedding LU path remains beyond 64.
         inv, logdet_p = _inv_logdet_schur(theta, m)
         return FastFactor(lam_eff=None, inv=inv, logdet=logdet_p.sum(-1),
                           n_sorted=tuple(n_sorted), task_order=tuple(task_order),

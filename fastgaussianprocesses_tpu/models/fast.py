@@ -188,10 +188,9 @@ class _HalfSpectrumSolver:
         lam = lam + noise
         lam = lam * kmat_tasks[..., 0, 0][..., None]
         eps = jnp.finfo(rdt).eps
-        # stop_gradient: see linalg/fast_solver.effective_lams — a guard
-        # term whose gradient is eps-scale noise amplification
+        # floor differentiated on purpose: see fast_solver.effective_lams
         floor = 8.0 * eps * jnp.max(jnp.abs(lam), axis=-1, keepdims=True)
-        self.lam = lam + jax.lax.stop_gradient(floor)
+        self.lam = lam + floor
         self.logdet = self._wsum(jnp.log(jnp.abs(self.lam)))
         self.kmat_tasks = kmat_tasks
         self.scale = scale
@@ -292,9 +291,9 @@ class _PermSpectrumSolver:
         lam = lam + noise          # single task: adaptive trace ratio == 1
         lam = lam * kmat_tasks[..., 0, 0][..., None]
         eps = jnp.finfo(rdt).eps
-        # stop_gradient: see linalg/fast_solver.effective_lams
+        # floor differentiated on purpose: see fast_solver.effective_lams
         floor = 8.0 * eps * jnp.max(jnp.abs(lam), axis=-1, keepdims=True)
-        self.lam = lam + jax.lax.stop_gradient(floor)
+        self.lam = lam + floor
         self.logdet = jnp.sum(jnp.log(jnp.abs(self.lam)), -1)
         self.kmat_tasks = kmat_tasks
         self.scale = scale

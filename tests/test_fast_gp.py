@@ -368,12 +368,25 @@ def test_post_mean_var_fused_matches_separate(model_cls):
 
 
 @pytest.mark.parametrize("model_cls", [FastGPLattice, FastGPDigitalNetB2])
-def test_multitask_above_schur_ceiling_matches_dense(model_cls):
-    """M = 17 frequency blocks: above the recursive-Schur ceiling (M <= 16)
-    the factorization switches to slogdet/inv — complex via the real
-    embedding on the lattice path.  Dense-verified solve + logdet."""
-    T = 17
-    fgp = _make(model_cls, [16] * T, d=2, num_tasks=T, noise=1e-4)
+@pytest.mark.parametrize("T,nper", [(17, 16), (32, 8)])
+def test_multitask_deep_schur_ladder_matches_dense(model_cls, T, nper):
+    """M = 17 / 32 frequency blocks: the deep recursive-Schur ladder
+    (ceiling raised 16 -> 64 in round 5).  Dense-verified solve + logdet
+    (rtol grows ~1 digit per recursion level vs pivoted LU)."""
+    fgp = _make(model_cls, [nper] * T, d=2, num_tasks=T, noise=1e-4)
+    K = dense_gram(fgp)
+    y = np.concatenate([np.asarray(fgp._y[l]) for l in range(T)])
+    want = np.linalg.solve(K, y)
+    np.testing.assert_allclose(np.asarray(fgp.coeffs), want, atol=1e-5)
+    solver = fgp._solver()
+    _, logdet = np.linalg.slogdet(K)
+    np.testing.assert_allclose(float(solver.factor.logdet), logdet, rtol=1e-6)
+
+
+def test_multitask_above_schur_ceiling_matches_dense():
+    """M = 65 > the Schur ceiling (64): the real-embedding LU fallback."""
+    T = 65
+    fgp = _make(FastGPLattice, [4] * T, d=2, num_tasks=T, noise=1e-4)
     K = dense_gram(fgp)
     y = np.concatenate([np.asarray(fgp._y[l]) for l in range(T)])
     want = np.linalg.solve(K, y)
