@@ -53,7 +53,7 @@ def main():
     def l2(yt, pm):
         return float(np.linalg.norm(yt - pm) / np.linalg.norm(yt))
 
-    def run_pair(cell, fname, kind, seed, grad=False):
+    def run_pair(cell, fname, kind, seed, grad=False, shared_seed=False):
         f, d = SUITE[fname]
         xt = np.asarray(Halton(d, seed=17)(0, 1 << 12))
         yt = np.asarray(f(jnp.asarray(xt)))
@@ -67,6 +67,12 @@ def main():
             lbetas, T = None, 1
 
         def seqs(ctor):
+            # shared_seed: every task's generator gets the SAME seed (the
+            # corrected probnum25 cell-15 protocol — all tasks observe the
+            # same points); otherwise per-task spawned seeds (the round-4
+            # control protocol, kept for continuity of the committed runs)
+            if shared_seed:
+                return [ctor(d, seed) for _ in range(T)]
             seeds = np.random.SeedSequence(seed).spawn(T)
             return [ctor(d, s) for s in seeds]
 
@@ -136,6 +142,14 @@ def main():
     for s in (11, 23):
         run_pair(f"ackley_d1/dnb2/seed{s}", "ackley_d1", "dnb2", s)
     run_pair("branin/dnb2/grad", "branin", "dnb2", 7, grad=True)
+    # corrected shared-points protocol (round 5): all tasks share one seed,
+    # as in probnum25 cell 15.  On this near-degenerate surface the two
+    # implementations' MLLs agree at matched hyperparameters (dense-oracle
+    # check) but Rprop trajectories diverge chaotically from the default
+    # init, so per-draw results differ; benchmark_suite selects draws/inits
+    # by held-out CV.
+    run_pair("branin/dnb2/grad/shared", "branin", "dnb2", 7, grad=True,
+             shared_seed=True)
 
     out_path = os.path.join(HERE, "reference_control_results.json")
     with open(out_path, "w") as fh:

@@ -27,6 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Coefficient of the dtype-relative eigenvalue floor applied in
+# effective_lams (floor = EIG_FLOOR_C * eps * max|lam| added to diagonal
+# pairs).  Module-level so experiments can vary it without re-tracing
+# call sites; see the long comment in effective_lams before touching it.
+EIG_FLOOR_C = 8.0
+
 
 class FastFactor(NamedTuple):
     """Factorized frequency-space multitask Gram matrix.
@@ -111,7 +117,8 @@ def effective_lams(lam_pairs: dict, n_sorted, kmat_tasks, noise, task_order,
     for l in range(T):
         lam_ll = out[(l, l)]
         eps = jnp.finfo(jnp.abs(lam_ll).dtype).eps
-        floor = 8.0 * eps * jnp.max(jnp.abs(lam_ll), axis=-1, keepdims=True)
+        floor = EIG_FLOOR_C * eps * jnp.max(jnp.abs(lam_ll), axis=-1,
+                                            keepdims=True)
         out[(l, l)] = lam_ll + floor
     return out
 
