@@ -305,6 +305,88 @@ def kernel_from_parts(parts, beta0: np.ndarray, beta1: np.ndarray, c0, c1, scale
     return jnp.sum(jnp.sum(terms * c1, axis=-1) * c0, axis=-1)
 
 
+def _unbroadcast(x, shape):
+    """Sum ``x`` down to a broadcast-compatible ``shape`` (VJP reduction)."""
+    while x.ndim > len(shape):
+        x = x.sum(0)
+    for i, (xs, s) in enumerate(zip(x.shape, shape)):
+        if s == 1 and xs != 1:
+            x = x.sum(i, keepdims=True)
+    return x
+
+
+@jax.custom_vjp
+def _prod_terms_t(parts_t, lengthscales, ind):
+    """``prod_j (ind_j + ls_j * parts_t[..., j, :])`` over the dim axis -2.
+
+    Equals ``jnp.prod(ind[..., None] + ls_r * parts_t, axis=-2)`` exactly,
+    but with a hand-written VJP: XLA differentiates ``prod`` through
+    zero-safe cumulative products whose (d, n) intermediates and (d, n)
+    input cotangent round-trip HBM — measured 278 us for the n=2^20 d=8
+    contraction fwd+VJP against a ~110 us two-pass traffic floor
+    (PERF_ANALYSIS.md section 1).  The custom rule emits the lengthscale
+    cotangent DIRECTLY (d partial products via an unrolled prefix/suffix
+    ladder, each immediately contracted against the upstream cotangent),
+    so nothing of shape (d, n) is ever written back; the zero ``parts_t``
+    cotangent is dead code XLA eliminates (parts are parameter-free data).
+    The prefix/suffix form is the same zero-safe factorization XLA uses,
+    so gradients match the autodiff path to roundoff (pinned by
+    tests/test_fast_gp.py::test_kernel_from_parts_t_custom_vjp).
+    """
+    ls_r = lengthscales[..., None, None, :, None]
+    return jnp.prod(ind[..., None] + ls_r * parts_t, axis=-2)
+
+
+def _prod_terms_t_fwd(parts_t, lengthscales, ind):
+    return _prod_terms_t(parts_t, lengthscales, ind), (parts_t, lengthscales, ind)
+
+
+def _prod_terms_t_bwd(res, g):
+    parts_t, ls, ind = res
+    d = parts_t.shape[-2]
+    aniso = ls.shape[-1] == d
+
+    def f(j):
+        lsj = (ls[..., j] if aniso else ls[..., 0])[..., None, None, None]
+        return ind[..., j][..., None] + lsj * parts_t[..., j, :]
+
+    fs = [f(j) for j in range(d)]
+    pre = [None] * d
+    run = None
+    for j in range(d):
+        pre[j] = run
+        run = fs[j] if run is None else run * fs[j]
+    suf = [None] * d
+    run = None
+    for j in range(d - 1, -1, -1):
+        suf[j] = run
+        run = fs[j] if run is None else fs[j] * run
+    cols = []
+    for j in range(d):
+        if pre[j] is None:
+            oth = suf[j]
+        elif suf[j] is None:
+            oth = pre[j]
+        else:
+            oth = pre[j] * suf[j]
+        cj = g * parts_t[..., j, :] if oth is None else g * parts_t[..., j, :] * oth
+        cols.append(cj.sum(axis=(-1, -2, -3)))
+    dls = jnp.stack(cols, axis=-1)            # (*broadcast_batch, d)
+    if not aniso:
+        dls = dls.sum(-1, keepdims=True)
+    dls = _unbroadcast(dls, ls.shape).astype(ls.dtype)
+    return jnp.zeros_like(parts_t), dls, jnp.zeros_like(ind)
+
+
+_prod_terms_t.defvjp(_prod_terms_t_fwd, _prod_terms_t_bwd)
+
+# Above this dimension count the unrolled prefix/suffix ladder (3d extra
+# elementwise nodes) starts to matter for trace/compile size (the d=31
+# M=32 derivative cell is already compile-bound) while the contraction is
+# no longer the dominant step cost — keep XLA's native prod VJP there.
+_PROD_VJP_MAX_D = 16
+
+
 def kernel_from_parts_t(parts_t, beta0: np.ndarray, beta1: np.ndarray, c0, c1, scale, lengthscales):
     """:func:`kernel_from_parts` for the TPU-layout parts ``(p0, p1, d, n)``.
 
@@ -322,8 +404,11 @@ def kernel_from_parts_t(parts_t, beta0: np.ndarray, beta1: np.ndarray, c0, c1, s
     """
     ind = jnp.asarray((np.asarray(beta0)[:, None, :] + np.asarray(beta1)[None, :, :]) == 0,
                       dtype=parts_t.dtype)                       # (p0, p1, d)
-    ls_r = lengthscales[..., None, None, :, None]                # (*b,1,1,d|1,1)
-    terms = jnp.prod(ind[..., None] + ls_r * parts_t, axis=-2)   # (*b,p0,p1,n)
+    if parts_t.shape[-2] <= _PROD_VJP_MAX_D:
+        terms = _prod_terms_t(parts_t, lengthscales, ind)        # (*b,p0,p1,n)
+    else:
+        ls_r = lengthscales[..., None, None, :, None]            # (*b,1,1,d|1,1)
+        terms = jnp.prod(ind[..., None] + ls_r * parts_t, axis=-2)
     c0 = jnp.asarray(c0, dtype=parts_t.dtype)
     c1 = jnp.asarray(c1, dtype=parts_t.dtype)
     out = jnp.sum(jnp.sum(terms * c1[:, None], axis=-2) * c0[:, None], axis=-2)
